@@ -1,0 +1,103 @@
+"""Bloom-filter URL-seen pre-filter.
+
+The exact seen-set is an anti-join against the ``seen`` table; at 10^10
+canonical URLs that join shuffles both sides every round. The Bloom filter
+short-circuits it: candidates whose probes miss the filter are *definitely
+new* and skip the exact join entirely; only maybe-seen candidates (a small
+fraction: true dups + false positives) go through the exact anti-join, so
+exactness is preserved (false negatives are impossible).
+
+Build path (north-star shape): the two 64-bit probe bases are computed
+JVM-side with ``xxhash64`` (vectorized, no Python in the hashing hot path);
+per-partition bitmaps are OR-merged — via RDD ``treeAggregate`` — and the
+merged bitmap is broadcast for the probe UDF, which evaluates k double-hash
+probes with numpy over whole Arrow batches.
+
+Sizing: m bits for n keys at k=7 gives fpr ≈ 0.82^(m/n·ln2·...); the engine
+sizes m = 16·n rounded to a power of two (fpr ≈ 0.0043). At 10^10 URLs that
+is 20 GB — per-partition bitmaps sharded by canonical-hash range would be
+used instead of a single broadcast; the treeAggregate OR-merge is the same.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K_PROBES = 7
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(10, (x - 1).bit_length())
+
+
+def _probe_bits(h1: np.ndarray, h2: np.ndarray, m_bits: int) -> np.ndarray:
+    """(n, k) array of bit indices via double hashing: h1 + i*h2 mod m."""
+    i = np.arange(K_PROBES, dtype=np.uint64)
+    return (
+        h1.astype(np.uint64)[:, None] + i[None, :] * h2.astype(np.uint64)[:, None]
+    ) % np.uint64(m_bits)
+
+
+def build_bloom(df: DataFrame, col: str, m_bits: int | None = None) -> tuple[bytes, int]:
+    """Build a bloom bitmap over ``df[col]`` (distinct not required).
+
+    Returns (bitmap bytes, m_bits). Hashing is JVM-side xxhash64; bitmap
+    build is per-partition numpy, OR-merged with treeAggregate.
+    """
+    n = df.count()
+    m = m_bits or _next_pow2(max(1, n) * 16)
+
+    hashed = df.select(
+        F.xxhash64(F.col(col)).alias("h1"),
+        F.xxhash64(F.col(col), F.lit(1)).alias("h2"),
+    )
+
+    def to_bitmap(pdf_iter):
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            bits = _probe_bits(
+                pdf["h1"].to_numpy().astype(np.int64).view(np.uint64),
+                pdf["h2"].to_numpy().astype(np.int64).view(np.uint64),
+                m,
+            ).ravel()
+            np.bitwise_or.at(bm, bits >> 3, (1 << (bits & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    parts = hashed.mapInPandas(to_bitmap, "bitmap binary").rdd.map(
+        lambda r: np.frombuffer(r["bitmap"], dtype=np.uint8)
+    )
+    merged = parts.treeAggregate(
+        np.zeros(m // 8, dtype=np.uint8),
+        lambda a, b: np.bitwise_or(a, b),
+        lambda a, b: np.bitwise_or(a, b),
+    )
+    return merged.tobytes(), m
+
+
+def maybe_seen_col(spark, bitmap: bytes, m_bits: int):
+    """Returns a function mapping (h1_col, h2_col) → boolean Column: True if
+    the key is POSSIBLY in the filter (must go to the exact anti-join),
+    False only if definitely new."""
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(np.frombuffer(bitmap, dtype=np.uint8))
+
+    @F.pandas_udf("boolean")
+    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        if len(h1) == 0:
+            return pd.Series([], dtype=bool)
+        bm = bc.value
+        bits = _probe_bits(
+            h1.to_numpy().astype(np.int64).view(np.uint64),
+            h2.to_numpy().astype(np.int64).view(np.uint64),
+            m_bits,
+        )
+        hit = (bm[(bits >> 3).astype(np.int64)] >> (bits & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    return probe

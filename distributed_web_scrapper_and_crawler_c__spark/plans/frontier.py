@@ -1,0 +1,417 @@
+"""The batch URL-frontier engine: each crawl round is one Spark job.
+
+Reproduces the reference's observable crawl semantics (SURVEY §3.1 —
+``crawl_website_queue``, Crawler.cpp:135-317) as DataFrame plans:
+
+    dequeue (per-host budget window) → "fetch" (equi-join vs pages) →
+    parse books (gated) → extract links (sorted UDF) → canonicalize →
+    enqueue-dedup (anti-join vs seen, first-enqueuer-wins window) →
+    assign dense global seq (range-partition prefix sums) →
+    checkpoint frontier / seen / items / metrics.
+
+Determinism: the dequeue order is ``seq`` order; new URLs are numbered by
+``(parent_seq, link_rank)`` — the exact C++ FIFO order (first-enqueue-wins
+picks min (parent_seq, link_rank), mirroring the sequential insert loop at
+Crawler.cpp:259-264). The golden tests diff every round against the Python
+oracle, which itself is differential-tested against the compiled reference.
+
+Scale design (10^10 frontier, 1000 executors):
+ - frontier and seen live in checkpointed tables partitioned by host hash;
+   mega-hosts are budget-capped BEFORE salting, so politeness is exact and
+   salting only spreads the already-budgeted slice for parse parallelism;
+ - the fetch join broadcasts the (budget-bounded) round slice against the
+   page store — one scan, zero shuffle of pages; with a bucketed/Iceberg
+   page store this becomes a storage-partitioned join with no scan at all
+   of non-matching buckets;
+ - the seen anti-join is pre-filtered by a Bloom bitmap (plans/bloom.py):
+   definitely-new candidates skip the join; only maybe-seen rows shuffle;
+ - seq assignment uses two-phase prefix sums (plans/seq.py) — no global
+   window, no single-partition bottleneck;
+ - every round ends in a parquet/Iceberg snapshot + _COMMIT marker, so any
+   round is resumable and task retries within a round are idempotent
+   (the reference's worker-reassignment, server.cpp:477-496, comes free).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import expressions as X
+from ..functions import kernels as K
+from ..functions import udfs as U
+from . import bloom as BL
+from .seq import with_global_seq
+
+FRONTIER_SCHEMA = (
+    "seq long, path string, url string, canonical string, host string, "
+    "parent_seq long, link_rank int, round_added int"
+)
+SEEN_SCHEMA = "canonical string, seq long, round_added int"
+ITEMS_SCHEMA = (
+    "item_seq long, parent_seq long, book_rank int, url string, "
+    "canonical_url string, title string, price string, rating string, "
+    "price_value double, rating_value int, item_type string, round int"
+)
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    urls_dequeued: int
+    urls_fetched: int
+    fetch_misses: int
+    books_found: int
+    links_extracted: int
+    links_new: int
+    links_dup: int
+    links_ignored: int
+    wall_ms: float
+    partition_fetch_counts: dict = field(default_factory=dict)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        hostname: str = "books.toscrape.com",
+        host_budget: int | None = None,
+        max_pages: int = 0,
+        checkpoint_dir: str | None = None,
+        use_bloom: bool = False,
+        num_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages.select("url", "html")
+        self.hostname = hostname
+        self.base_url = "http://" + hostname
+        self.host_budget = host_budget
+        self.max_pages = max_pages
+        self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
+        self.use_bloom = use_bloom
+        self.n_part = num_partitions or spark.sparkContext.defaultParallelism
+
+        self.frontier: DataFrame | None = None
+        self.seen: DataFrame | None = None
+        self.items: DataFrame = spark.createDataFrame([], ITEMS_SCHEMA)
+        self.metrics: list[RoundMetrics] = []
+        self.round_num = 0
+        self.next_seq = 0
+        self.pages_crawled = 0
+        self.items_count = 0
+        self.stopped = False
+        # golden-test instrumentation: (round, seq, path, fetched) per
+        # dequeue, in order. Driver-side — enable only at test scale.
+        self.record_dequeues = False
+        self.dequeue_log: list[tuple] = []
+
+    # ------------------------------------------------------------------ state
+
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Truncate lineage between rounds (iterative plans otherwise grow
+        unboundedly). Disk checkpointing happens separately per round."""
+        return df.localCheckpoint(eager=True)
+
+    def seed(self, start_paths: list[str]) -> "CrawlEngine":
+        rows = []
+        for i, p in enumerate(start_paths):
+            url = self.base_url + p
+            rows.append(
+                (i, p, url, K.canonicalize_url(url), K.url_host(url), -1, i, 0)
+            )
+        self.frontier = self._pin(
+            self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        )
+        self.seen = self._pin(
+            self.spark.createDataFrame(
+                [(c, s, 0) for (s, _p, _u, c, _h, _ps, _lr, _r) in rows],
+                SEEN_SCHEMA,
+            ).dropDuplicates(["canonical"])
+        )
+        self.next_seq = len(rows)
+        self._write_checkpoint()
+        return self
+
+    # ------------------------------------------------------------------ round
+
+    def run_round(self) -> bool:
+        """One crawl round. Returns False when drained or stopped."""
+        if self.stopped or self.frontier is None:
+            return False
+        if self.max_pages > 0 and self.pages_crawled >= self.max_pages:
+            self.stopped = True
+            return False
+        if self.frontier.limit(1).count() == 0:
+            return False
+        t0 = time.time()
+
+        # --- dequeue under per-host politeness budget (Q2/Q8) -------------
+        if self.host_budget is not None:
+            w = Window.partitionBy("host").orderBy("seq")
+            slice_df = (
+                self.frontier.withColumn("_hrk", F.row_number().over(w))
+                .filter(F.col("_hrk") <= self.host_budget)
+                .drop("_hrk")
+            )
+        else:
+            slice_df = self.frontier
+        slice_df = self._pin(slice_df)
+
+        # --- "fetch": inner equi-join against the page store ---------------
+        # broadcast the bounded slice → one pass over pages, no pages shuffle
+        hits = self.pages.join(F.broadcast(slice_df), "url", "inner")
+
+        # --- max_pages truncation (Crawler.cpp:172 semantics) --------------
+        if self.max_pages > 0:
+            remaining = self.max_pages - self.pages_crawled
+            flags = slice_df.join(
+                hits.select("seq", F.lit(1).alias("_hit")), "seq", "left"
+            )
+            wseq = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, -1)
+            popped = (
+                flags.withColumn(
+                    "_before", F.coalesce(F.sum("_hit").over(wseq), F.lit(0))
+                )
+                .filter(F.col("_before") < remaining)
+                .drop("_hit", "_before")
+            )
+            popped = self._pin(popped)
+            hits = hits.join(popped.select("seq"), "seq", "leftsemi")
+        else:
+            popped = slice_df
+
+        hits = self._pin(hits.withColumn("_pid", F.spark_partition_id()))
+        n_popped = popped.count()
+        n_hits = hits.count()
+        if n_popped == 0:
+            self.stopped = True
+            return False
+        if self.record_dequeues:
+            hit_seqs = {r["seq"] for r in hits.select("seq").collect()}
+            for r in popped.select("seq", "path").orderBy("seq").collect():
+                self.dequeue_log.append(
+                    (self.round_num, r["seq"], r["path"], r["seq"] in hit_seqs)
+                )
+        part_counts = {
+            r["_pid"]: r["cnt"]
+            for r in hits.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        self.pages_crawled += n_hits
+
+        # --- books: gated parse, canonical-URL dedup in discovery order ----
+        pods = (
+            hits.filter(X.book_parse_gate_expr(F.col("path")))
+            .select(
+                F.col("seq").alias("parent_seq"),
+                F.posexplode(
+                    U.parse_books_udf(
+                        F.col("html"), F.concat(F.lit(self.base_url), F.col("path"))
+                    )
+                ).alias("book_rank", "_bk"),
+            )
+            .select("parent_seq", "book_rank", "_bk.*")
+            .withColumn("canonical_url", U.canonicalize_udf(F.col("url")))
+        )
+        book_seen = self.items.select("canonical_url")
+        fresh = pods.join(book_seen, "canonical_url", "left_anti")
+        wb = Window.partitionBy("canonical_url").orderBy("parent_seq", "book_rank")
+        fresh = (
+            fresh.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        new_items = with_global_seq(
+            fresh, ["parent_seq", "book_rank"], start=self.items_count,
+            seq_col="item_seq", num_partitions=self.n_part,
+        )
+        new_items = new_items.select(
+            "item_seq", "parent_seq", "book_rank", "url", "canonical_url",
+            "title", "price", "rating",
+            U.price_value_udf(F.col("price")).alias("price_value"),
+            X.rating_value_expr(F.col("rating")).alias("rating_value"),
+            X.classify_item_type_expr(X.url_host_expr(F.col("url"))).alias("item_type"),
+            F.lit(self.round_num).alias("round"),
+        )
+        self.items = self._pin(self.items.unionByName(new_items))
+        new_item_count = self.items.count() - self.items_count
+        self.items_count += new_item_count
+
+        # --- links: extract (sorted), scope-filter, enqueue-dedup ----------
+        lk = hits.select(
+            F.col("seq").alias("parent_seq"),
+            F.posexplode(
+                U.extract_links_udf(
+                    F.col("html"), F.concat(F.lit(self.base_url), F.col("path"))
+                )
+            ).alias("link_rank", "link"),
+        )
+        lk = self._pin(lk.withColumn("ignored", X.should_ignore_url_expr(F.col("link"))))
+        n_extracted = lk.count()
+        n_ignored = lk.filter("ignored").count()
+
+        kept = (
+            lk.filter(~F.col("ignored"))
+            .withColumn(
+                "path",
+                F.when(
+                    F.col("link").startswith(self.base_url),
+                    F.expr(f"substring(link, {len(self.base_url) + 1})"),
+                ).otherwise(F.col("link")),
+            )
+            .withColumn("url", F.concat(F.lit(self.base_url), F.col("path")))
+            .withColumn("canonical", U.canonicalize_udf(F.col("link")))
+        )
+
+        # Bloom pre-filter: definitely-new rows skip the exact anti-join
+        if self.use_bloom:
+            bitmap, m_bits = BL.build_bloom(self.seen, "canonical")
+            probe = BL.maybe_seen_col(self.spark, bitmap, m_bits)
+            kept = kept.withColumn(
+                "_maybe", probe(F.xxhash64("canonical"), F.xxhash64("canonical", F.lit(1)))
+            )
+            sure_new = kept.filter(~F.col("_maybe")).drop("_maybe")
+            maybe = kept.filter(F.col("_maybe")).drop("_maybe")
+            checked = maybe.join(self.seen.select("canonical"), "canonical", "left_anti")
+            cand = sure_new.unionByName(checked)
+        else:
+            cand = kept.join(self.seen.select("canonical"), "canonical", "left_anti")
+
+        wl = Window.partitionBy("canonical").orderBy("parent_seq", "link_rank")
+        firsts = (
+            cand.withColumn("_rn", F.row_number().over(wl))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "ignored", "link")
+        )
+        new_frontier = self._pin(
+            with_global_seq(
+                firsts, ["parent_seq", "link_rank"], start=self.next_seq,
+                num_partitions=self.n_part,
+            ).select(
+                "seq", "path", "url", "canonical",
+                X.url_host_expr(F.col("url")).alias("host"),
+                "parent_seq", "link_rank",
+                F.lit(self.round_num + 1).alias("round_added"),
+            )
+        )
+        n_new = new_frontier.count()
+        self.next_seq += n_new
+
+        leftover = self.frontier.join(popped.select("seq"), "seq", "left_anti")
+        self.frontier = self._pin(leftover.unionByName(new_frontier))
+        self.seen = self._pin(
+            self.seen.unionByName(
+                new_frontier.select("canonical", "seq", "round_added")
+            )
+        )
+
+        self.metrics.append(
+            RoundMetrics(
+                round=self.round_num,
+                urls_dequeued=n_popped,
+                urls_fetched=n_hits,
+                fetch_misses=n_popped - n_hits,
+                books_found=new_item_count,
+                links_extracted=n_extracted,
+                links_new=n_new,
+                links_dup=n_extracted - n_ignored - n_new,
+                links_ignored=n_ignored,
+                wall_ms=(time.time() - t0) * 1000,
+                partition_fetch_counts=part_counts,
+            )
+        )
+        self.round_num += 1
+        self._write_checkpoint()
+        if self.max_pages > 0 and n_popped < slice_df.count():
+            # cap bound mid-slice: remaining dequeues never happen
+            self.stopped = True
+        return True
+
+    def run(self, start_paths: list[str] | str, max_rounds: int | None = None) -> "CrawlEngine":
+        if isinstance(start_paths, str):
+            start_paths = [start_paths]
+        if self.frontier is None:
+            self.seed(start_paths)
+        while (max_rounds is None or self.round_num < max_rounds) and self.run_round():
+            pass
+        return self
+
+    # ------------------------------------------------------------- checkpoint
+
+    def _write_checkpoint(self) -> None:
+        if self.checkpoint_dir is None:
+            return
+        d = self.checkpoint_dir / f"r{self.round_num}"
+        self.frontier.write.mode("overwrite").parquet(str(d / "frontier"))
+        self.seen.write.mode("overwrite").parquet(str(d / "seen"))
+        self.items.write.mode("overwrite").parquet(str(d / "items"))
+        state = {
+            "round": self.round_num,
+            "next_seq": self.next_seq,
+            "pages_crawled": self.pages_crawled,
+            "items_count": self.items_count,
+            "stopped": self.stopped,
+            "metrics": [
+                {k: v for k, v in m.__dict__.items()} for m in self.metrics
+            ],
+        }
+        (d / "state.json").parent.mkdir(parents=True, exist_ok=True)
+        (d / "state.json").write_text(json.dumps(state))
+        (d / "_COMMIT").write_text("ok")
+
+    @classmethod
+    def resume(
+        cls, spark: SparkSession, pages: DataFrame, checkpoint_dir: str, **kw
+    ) -> "CrawlEngine":
+        """Restart from the latest committed round snapshot. Rounds are
+        idempotent: a crash mid-round leaves the previous snapshot intact
+        (the _COMMIT marker is written last)."""
+        root = Path(checkpoint_dir)
+        committed = sorted(
+            (int(p.name[1:]) for p in root.glob("r*") if (p / "_COMMIT").exists()),
+        )
+        if not committed:
+            raise FileNotFoundError(f"no committed rounds under {checkpoint_dir}")
+        last = committed[-1]
+        d = root / f"r{last}"
+        eng = cls(spark, pages, checkpoint_dir=checkpoint_dir, **kw)
+        state = json.loads((d / "state.json").read_text())
+        eng.frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(str(d / "frontier"))
+        eng.seen = spark.read.schema(SEEN_SCHEMA).parquet(str(d / "seen"))
+        eng.items = spark.read.schema(ITEMS_SCHEMA).parquet(str(d / "items"))
+        eng.round_num = state["round"]
+        eng.next_seq = state["next_seq"]
+        eng.pages_crawled = state["pages_crawled"]
+        eng.items_count = state["items_count"]
+        eng.stopped = state["stopped"]
+        eng.metrics = [RoundMetrics(**m) for m in state["metrics"]]
+        return eng
+
+    # ---------------------------------------------------------------- outputs
+
+    def crawl_order(self) -> list[str]:
+        """Dequeue order (requires ``record_dequeues=True`` before run)."""
+        return [path for (_r, _s, path, _f) in self.dequeue_log]
+
+    def metrics_df(self) -> DataFrame:
+        rows = [
+            (
+                m.round, int(pid), int(cnt), m.urls_dequeued, m.urls_fetched,
+                m.fetch_misses, m.books_found, m.links_extracted, m.links_new,
+                m.links_dup, m.links_ignored, float(m.wall_ms),
+            )
+            for m in self.metrics
+            for pid, cnt in (m.partition_fetch_counts or {0: 0}).items()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "round int, partition_id int, partition_urls_fetched long, "
+            "urls_dequeued long, urls_fetched long, fetch_misses long, "
+            "books_found long, links_extracted long, links_new long, "
+            "links_dup long, links_ignored long, wall_ms double",
+        )

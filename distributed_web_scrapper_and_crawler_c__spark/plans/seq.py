@@ -1,0 +1,77 @@
+"""Scalable deterministic global sequence assignment.
+
+The frontier needs a dense, gap-free, globally ordered ``seq`` for every
+newly discovered URL (SURVEY §3.1: children are ordered by
+``(parent_seq, link_rank)`` and numbered after all existing seqs). A naive
+``row_number() OVER (ORDER BY ...)`` collapses everything into ONE partition
+— fine at test scale, fatal at 10^10. This module implements the standard
+two-phase prefix-sum instead:
+
+1. ``repartitionByRange`` on the order columns (range partitions are emitted
+   in sorted order), sort within partitions, pin with ``localCheckpoint`` so
+   both passes see identical placement;
+2. count rows per partition (a tiny aggregate collected to the driver),
+   compute per-partition offsets;
+3. ``mapInPandas`` stamps ``seq = offset[pid] + running_row_index``.
+
+Cost: one shuffle + one small collect — no single-partition bottleneck, and
+the result is independent of the number of partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    start: int = 0,
+    seq_col: str = "seq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign ``seq_col`` = start, start+1, ... in ``order_cols`` order.
+
+    ``order_cols`` must be a unique key of ``df`` (ties would make the
+    global order ambiguous). Returns a localCheckpoint-pinned DataFrame.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    schema = parted.drop("_pid").schema.add(seq_col, "long")
+    cols = [f.name for f in schema.fields]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def stamp(batches):
+        seen = 0
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            base = bc.value[pid] + seen
+            out = pdf.drop(columns=["_pid"])
+            out[seq_col] = range(base, base + len(pdf))
+            seen += len(pdf)
+            yield pd.DataFrame(out, columns=cols)
+
+    return parted.mapInPandas(stamp, schema)
