@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: a 3-round frontier crawl over the synthetic
+page store (the engine's real workload) summarized per rating, joined with
+a quality-filter pass over the sf0.001 ``documents`` table.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family from SURVEY.md §2 plus the training-data operators (dedup /
+similarity / text analysis). Spark sides exercise the real operators
+(pandas-UDF kernels, expression forms, window dedups); oracle sides are
+independent DuckDB SQL. Aggregate/computed columns are aliased identically
+on both sides; doubles are rounded before comparison.
+
+Non-SQL-expressible ops (SimHash, winnowing fingerprints, LSH-ANN,
+multimodal feature extraction, the crawl itself) have no oracle entry and
+get the driver's rows-only check; their exactness is covered by the pytest
+suite (golden crawl tests, recall tests, reference-differential fuzz).
 """
 
 from __future__ import annotations
@@ -12,27 +22,601 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_web_scrapper_and_crawler_c__spark.functions import (
+    expressions as X,
+)
+from distributed_web_scrapper_and_crawler_c__spark.functions import udfs as U
+from distributed_web_scrapper_and_crawler_c__spark.operators import (
+    aggregates as AGG,
+)
+from distributed_web_scrapper_and_crawler_c__spark.operators import dedup as DD
+from distributed_web_scrapper_and_crawler_c__spark.operators import (
+    multimodal as MM,
+)
+from distributed_web_scrapper_and_crawler_c__spark.operators import (
+    similarity as SIM,
+)
+from distributed_web_scrapper_and_crawler_c__spark.operators import (
+    textstats as TS,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Crawl the synthetic site for 3 rounds, aggregate extracted books per
+    rating (A4 shape), and attach corpus-quality counts from the sf0.001
+    documents table."""
+    from distributed_web_scrapper_and_crawler_c__spark.plans.frontier import (
+        CrawlEngine,
+    )
+    from distributed_web_scrapper_and_crawler_c__spark.sources import sitegen
+
+    spec = sitegen.SiteSpec(n_books=30, n_categories=3, books_per_page=10)
+    pages = sitegen.pages_dataframe(spark, spec, slices=4)
+    eng = CrawlEngine(spark, pages).run("/catalogue/page-1.html", max_rounds=3)
+
+    by_rating = eng.items.groupBy("rating").agg(
+        F.count("*").alias("n_books"),
+        F.round(F.avg("price_value"), 2).alias("avg_price"),
+        F.min("item_seq").alias("first_seen_seq"),
+    )
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    q = TS.quality_scores(docs).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0)).alias(
+            "n_quality_docs"
+        ),
+    )
+    return by_rating.crossJoin(q).orderBy("rating")
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (identical text used against DuckDB; Spark runs the
+# real operators instead and must agree)
+# ---------------------------------------------------------------------------
+
+# mixed-shape synthetic URLs from `part` (same text evaluates in both engines)
+URL_EXPR = (
+    "concat("
+    "CASE WHEN p_partkey % 4 = 0 THEN 'HTTP://WWW.Books.toscrape.com'"
+    "     WHEN p_partkey % 4 = 1 THEN 'https://books.toscrape.com'"
+    "     WHEN p_partkey % 4 = 2 THEN 'http://example.com'"
+    "     ELSE 'http://books.toscrape.com' END,"
+    "'/catalogue/', replace(p_name, ' ', '-'), '_',"
+    "CAST(p_partkey AS STRING),"
+    "CASE WHEN p_partkey % 5 = 0 THEN '#frag'"
+    "     WHEN p_partkey % 5 = 1 THEN '?q=1'"
+    "     WHEN p_partkey % 5 = 2 THEN '/search?q=x'"
+    "     WHEN p_partkey % 5 = 3 THEN '/'"
+    "     ELSE '/index.html' END)"
+)
+
+HOST_EXPR = (
+    "CASE CAST(c_custkey % 8 AS INT)"
+    " WHEN 0 THEN 'books.toscrape.com'"
+    " WHEN 1 THEN 'www.indeed.com'"
+    " WHEN 2 THEN 'de.linkedin.com'"
+    " WHEN 3 THEN 'amazon.co.uk'"
+    " WHEN 4 THEN 'shop.ebay.com'"
+    " WHEN 5 THEN 'medium.com'"
+    " WHEN 6 THEN 'news.ycombinator.com'"
+    " ELSE 'example.org' END"
+)
+
+PRICE_STR_EXPR = (
+    "CASE WHEN p_partkey % 7 = 6 THEN 'Free'"
+    " ELSE concat("
+    "CASE WHEN p_partkey % 3 = 0 THEN '£'"
+    "     WHEN p_partkey % 3 = 1 THEN '$' ELSE '€' END,"
+    "CAST(CAST(p_partkey % 90 + 10 AS INT) AS STRING),"
+    "CASE WHEN p_partkey % 2 = 0 THEN '.' ELSE ',' END,"
+    "lpad(CAST(CAST(p_partkey % 100 AS INT) AS STRING), 2, '0')) END"
+)
+
+RATING_WORD_EXPR = (
+    "CASE CAST(p_partkey % 7 AS INT)"
+    " WHEN 0 THEN 'One' WHEN 1 THEN 'Two' WHEN 2 THEN 'Three'"
+    " WHEN 3 THEN 'Four' WHEN 4 THEN 'Five' WHEN 5 THEN 'star-rating Three'"
+    " ELSE 'Unknown' END"
+)
+
+ITEMS_LIKE_SQL = (
+    "SELECT p_partkey AS id,"
+    " CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'BOOK' WHEN 1 THEN 'JOB'"
+    "  WHEN 2 THEN 'PRODUCT' WHEN 3 THEN 'ARTICLE' ELSE 'GENERIC' END AS item_type,"
+    " CASE WHEN p_partkey % 11 = 0 THEN 0.0 ELSE round(p_retailprice, 2) END AS price_value,"
+    " CAST(p_size % 6 AS INT) AS rating_value,"
+    " p_brand AS category"
+    " FROM part"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- crawl kernels over synthesized URLs (F6/F7/F9/F10/F11/F16) ----
+
+    def url_canonicalize(spark, sf):
+        u = _t(spark, sf, "part").selectExpr("p_partkey", f"{URL_EXPR} AS url")
+        return u.select(
+            "p_partkey", "url", U.canonicalize_udf(F.col("url")).alias("canonical")
+        )
+
+    q["url_canonicalize"] = url_canonicalize
+
+    def url_canonicalize_expr(spark, sf):
+        # expression (codegen) form of F7 — same answer as the UDF form
+        u = _t(spark, sf, "part").selectExpr("p_partkey", f"{URL_EXPR} AS url")
+        return u.selectExpr(
+            "p_partkey", "url", X.canonicalize_url_sql("url") + " AS canonical"
+        )
+
+    q["url_canonicalize_expr"] = url_canonicalize_expr
+
+    def url_predicates(spark, sf):
+        u = _t(spark, sf, "part").selectExpr("p_partkey", f"{URL_EXPR} AS url")
+        return u.select(
+            "p_partkey",
+            X.is_book_page_expr(F.col("url")).alias("is_book"),
+            X.is_category_page_expr(F.col("url")).alias("is_category"),
+            X.should_ignore_url_expr(F.col("url")).alias("ignored"),
+        )
+
+    q["url_predicates"] = url_predicates
+
+    def url_classify(spark, sf):
+        h = _t(spark, sf, "customer").selectExpr("c_custkey", f"{HOST_EXPR} AS host")
+        return h.select(
+            "c_custkey", "host",
+            X.classify_item_type_expr(F.col("host")).alias("item_type"),
+        )
+
+    q["url_classify"] = url_classify
+
+    def price_rating_coercion(spark, sf):
+        p = _t(spark, sf, "part").selectExpr(
+            "p_partkey",
+            f"{PRICE_STR_EXPR} AS price_str",
+            f"{RATING_WORD_EXPR} AS rating_word",
+        )
+        return p.select(
+            "p_partkey", "price_str", "rating_word",
+            U.price_value_udf(F.col("price_str")).alias("price_value"),
+            X.rating_value_expr(F.col("rating_word")).alias("rating_value"),
+            X.parse_rating_expr(F.col("rating_word")).alias("rating_parsed"),
+        )
+
+    q["price_rating_coercion"] = price_rating_coercion
+
+    # ---- aggregations (A1-A6) ----
+
+    def item_stats(spark, sf):
+        _t(spark, sf, "part").createOrReplaceTempView("part")
+        items = spark.sql(ITEMS_LIKE_SQL)
+        return AGG.item_stats(items, "item_type", "price_value",
+                              "rating_value", "category")
+
+    q["item_stats"] = item_stats
+
+    def crawl_rate(spark, sf):
+        return AGG.crawl_rate(_t(spark, sf, "events"))
+
+    q["crawl_rate"] = crawl_rate
+
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def q3_top_orders(spark, sf):
+        c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10)
+        )
+
+    q["q3_top_orders"] = q3_top_orders
+
+    def broadcast_dim_join(spark, sf):
+        r = _t(spark, sf, "region")
+        n = _t(spark, sf, "nation")
+        c = _t(spark, sf, "customer")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"))
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            )
+        )
+
+    q["broadcast_dim_join"] = broadcast_dim_join
+
+    # ---- dedup / set ops (D1-D4, §2.8) ----
+
+    def dedup_first_wins(spark, sf):
+        from pyspark.sql import Window
+
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return (
+            o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("o_custkey").alias("custkey"),
+                F.col("o_orderkey").alias("first_orderkey"),
+                F.col("o_orderdate").alias("first_orderdate"),
+            )
+        )
+
+    q["dedup_first_wins"] = dedup_first_wins
+
+    def seen_anti_join(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select(F.col("c_custkey").alias("custkey"),
+                    F.col("c_name").alias("name"))
+        )
+
+    q["seen_anti_join"] = seen_anti_join
+
+    def union_dedup(spark, sf):
+        c = _t(spark, sf, "customer").select(
+            F.col("c_nationkey").cast("int").alias("nationkey")
+        )
+        s = _t(spark, sf, "supplier").select(
+            F.col("s_nationkey").cast("int").alias("nationkey")
+        )
+        return (
+            c.unionByName(s).distinct()
+            .groupBy().agg(F.count("*").alias("n_distinct_nations"))
+        )
+
+    q["union_dedup"] = union_dedup
+
+    def topk_sample(spark, sf):
+        return (
+            _t(spark, sf, "orders")
+            .orderBy("o_orderkey")
+            .limit(5)
+            .select("o_orderkey", "o_custkey", "o_orderstatus")
+        )
+
+    q["topk_sample"] = topk_sample
+
+    def window_last_n(spark, sf):
+        from pyspark.sql import Window
+
+        e = _t(spark, sf, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-3, -1)
+        )
+        return e.select(
+            "event_id", "user_id",
+            F.round(F.coalesce(F.avg("value").over(w), F.lit(0.0)), 6).alias(
+                "trailing_avg"
+            ),
+        )
+
+    q["window_last_n"] = window_last_n
+
+    # ---- training-data ops: dedup ----
+
+    def dedup_exact(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.select("doc_id", F.md5("text").alias("text_md5"))
+            .groupBy("text_md5")
+            .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        )
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_minhash_lsh(spark, sf):
+        return DD.lsh_candidate_pairs(_t(spark, sf, "documents"))
+
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_minhash_signatures(spark, sf):
+        return DD.minhash_signatures(_t(spark, sf, "documents"))
+
+    q["dedup_minhash_signatures"] = dedup_minhash_signatures
+
+    def dedup_ngram_jaccard(spark, sf):
+        return DD.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.1)
+
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_simhash(spark, sf):  # rows-only (pandas-UDF kernel)
+        return DD.simhash_near_dups(_t(spark, sf, "documents"), max_hamming=16)
+
+    q["dedup_simhash"] = dedup_simhash
+
+    # ---- training-data ops: similarity ----
+
+    def ann_cosine_topk(spark, sf):
+        return SIM.brute_force_topk(_t(spark, sf, "embeddings"), n_queries=5, k=10)
+
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    def ann_lsh_topk(spark, sf):  # rows-only (recall measured in pytest)
+        emb = _t(spark, sf, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        return SIM.lsh_ann_topk(emb, dim, n_queries=5, k=10)
+
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    def embedding_norms(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return emb.groupBy("label").agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(SIM._norm(F.col("embedding"))), 6).alias("avg_norm"),
+        )
+
+    q["embedding_norms"] = embedding_norms
+
+    # ---- training-data ops: text analysis ----
+
+    def text_token_counts(spark, sf):
+        out = TS.token_counts(_t(spark, sf, "documents"))
+        return out.select(
+            "doc_id",
+            F.col("ws_tokens").cast("long").alias("ws_tokens"),
+            F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+
+    q["text_token_counts"] = text_token_counts
+
+    def text_quality(spark, sf):
+        out = TS.quality_scores(_t(spark, sf, "documents"))
+        return out.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_punct").cast("long").alias("n_punct"),
+            F.col("n_stop").cast("long").alias("n_stop"),
+            "quality",
+        )
+
+    q["text_quality"] = text_quality
+
+    def text_langid(spark, sf):
+        out = TS.langid(_t(spark, sf, "documents"))
+        return out.select(
+            "doc_id", "lang",
+            *[F.col(f"s_{lang}").cast("long").alias(f"s_{lang}")
+              for lang in ("en", "de", "fr", "es")],
+            "predicted_lang",
+        )
+
+    q["text_langid"] = text_langid
+
+    def doc_fingerprints(spark, sf):  # rows-only (imperative rolling hash)
+        return TS.fingerprints(_t(spark, sf, "documents")).select(
+            "doc_id", F.size("fingerprint").alias("n_hashes")
+        )
+
+    q["doc_fingerprints"] = doc_fingerprints
+
+    # ---- multimodal plumbing (rows-only; stubbed decode) ----
+
+    def multimodal_features(spark, sf):
+        media = MM.synthetic_media(spark, n=64)
+        return MM.media_summary(MM.extract_features(media))
+
+    q["multimodal_features"] = multimodal_features
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    canon = X.canonicalize_url_sql("url")
+    url_cte = f"WITH u AS (SELECT p_partkey, {URL_EXPR} AS url FROM part)"
+    o: dict[str, str] = {}
+
+    o["url_canonicalize"] = (
+        f"{url_cte} SELECT p_partkey, url, {canon} AS canonical FROM u"
+    )
+    o["url_canonicalize_expr"] = o["url_canonicalize"]
+
+    o["url_predicates"] = f"""{url_cte}
+SELECT p_partkey,
+       (instr(url, '/catalogue/') > 0 AND instr(url, '.html') = 0
+        AND NOT url LIKE '%/') AS is_book,
+       (instr(url, '/category/') > 0 OR instr(url, 'index.html') > 0
+        OR instr(url, 'page-') > 0) AS is_category,
+       (instr(url, '/accounts/') > 0 OR instr(url, '/login') > 0
+        OR instr(url, '/logout') > 0 OR instr(url, '/admin') > 0
+        OR instr(url, '/static/') > 0 OR instr(url, '.jpg') > 0
+        OR instr(url, '.png') > 0 OR instr(url, '.css') > 0
+        OR instr(url, '.js') > 0
+        OR instr(url, 'books.toscrape.com') = 0) AS ignored
+FROM u"""
+
+    o["url_classify"] = f"""
+WITH h AS (SELECT c_custkey, {HOST_EXPR} AS host FROM customer)
+SELECT c_custkey, host,
+       CASE WHEN instr(host, 'toscrape.com') > 0 THEN 'BOOK'
+            WHEN instr(host, 'indeed') > 0 OR instr(host, 'linkedin') > 0
+                 OR instr(host, 'monster') > 0 THEN 'JOB'
+            WHEN instr(host, 'amazon') > 0 OR instr(host, 'ebay') > 0
+                 OR instr(host, 'walmart') > 0 THEN 'PRODUCT'
+            WHEN instr(host, 'medium') > 0 OR instr(host, 'news.') > 0
+                 OR instr(host, 'blog.') > 0 THEN 'ARTICLE'
+            ELSE 'GENERIC' END AS item_type
+FROM h"""
+
+    o["price_rating_coercion"] = f"""
+WITH p AS (SELECT p_partkey, {PRICE_STR_EXPR} AS price_str,
+                  {RATING_WORD_EXPR} AS rating_word FROM part)
+SELECT p_partkey, price_str, rating_word,
+       CASE WHEN regexp_extract(price_str, '([0-9][0-9.,]*)', 1) = '' THEN 0.0
+            ELSE CAST(replace(regexp_extract(price_str, '([0-9][0-9.,]*)', 1),
+                              ',', '.') AS DOUBLE) END AS price_value,
+       CASE rating_word WHEN 'One' THEN 1 WHEN 'Two' THEN 2 WHEN 'Three' THEN 3
+            WHEN 'Four' THEN 4 WHEN 'Five' THEN 5 ELSE 0 END AS rating_value,
+       CASE WHEN instr(rating_word, 'One') > 0 THEN 'One'
+            WHEN instr(rating_word, 'Two') > 0 THEN 'Two'
+            WHEN instr(rating_word, 'Three') > 0 THEN 'Three'
+            WHEN instr(rating_word, 'Four') > 0 THEN 'Four'
+            WHEN instr(rating_word, 'Five') > 0 THEN 'Five'
+            ELSE 'Unknown' END AS rating_parsed
+FROM p"""
+
+    o["item_stats"] = AGG.item_stats_sql(
+        f"({ITEMS_LIKE_SQL})", "item_type", "price_value", "rating_value",
+        "category",
+    )
+
+    o["crawl_rate"] = AGG.crawl_rate_sql("events", "user_id", "ts")
+
+    o["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 1) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["q3_top_orders"] = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+    o["broadcast_dim_join"] = """
+SELECT r_name AS region_name, count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+    o["dedup_first_wins"] = """
+SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+       o_orderdate AS first_orderdate
+FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+) WHERE rn = 1
+"""
+
+    o["seen_anti_join"] = """
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+    o["union_dedup"] = """
+SELECT count(*) AS n_distinct_nations FROM (
+    SELECT DISTINCT nationkey FROM (
+        SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        UNION ALL
+        SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    )
+)
+"""
+
+    o["topk_sample"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders ORDER BY o_orderkey LIMIT 5
+"""
+
+    o["window_last_n"] = """
+SELECT event_id, user_id,
+       round(coalesce(avg(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0.0), 6) AS trailing_avg
+FROM events
+"""
+
+    o["dedup_exact"] = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+    o["dedup_minhash_lsh"] = DD.LSH_PAIRS_SQL
+    o["dedup_minhash_signatures"] = DD.MINHASH_SQL
+    o["dedup_ngram_jaccard"] = DD.ngram_jaccard_sql(0.1)
+
+    o["ann_cosine_topk"] = SIM.brute_force_topk_sql(n_queries=5, k=10)
+
+    o["embedding_norms"] = """
+SELECT label, count(*) AS n_vectors,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+    o["text_token_counts"] = TS.TOKEN_COUNTS_SQL
+    o["text_quality"] = TS.QUALITY_SQL
+    o["text_langid"] = TS.LANGID_SQL
+
+    # rows-only (no oracle): dedup_simhash, ann_lsh_topk, doc_fingerprints,
+    # multimodal_features — non-SQL-expressible kernels; covered by pytest.
+    return o

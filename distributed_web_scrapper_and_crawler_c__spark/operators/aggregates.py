@@ -1,0 +1,96 @@
+"""Aggregation operators mirroring the reference's statistics (SURVEY §2.6).
+
+``item_stats`` reproduces getItemStats (server.cpp:678-769) exactly —
+including its quirks: SUM(price) gated on price>0 but AVG(price) dividing
+by the count of ALL items (server.cpp:727-731), AVG(rating) over rating>0
+rows only, and the category list as the comma-joined *sorted* distinct set
+(std::set iteration order). ``crawl_rate`` is the per-worker pages/minute
+metric (server.cpp:1073-1090) over the engine's metrics/events shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def item_stats(
+    items: DataFrame,
+    type_col: str = "item_type",
+    price_col: str = "price_value",
+    rating_col: str = "rating_value",
+    category_col: str = "item_type",
+) -> DataFrame:
+    """One-row stats frame, A4 semantics (server.cpp:678-769)."""
+    t, p, r, c = (F.col(x) for x in (type_col, price_col, rating_col, category_col))
+    return items.agg(
+        F.count("*").alias("total_items"),
+        F.sum(F.when(t == "BOOK", 1).otherwise(0)).alias("book_count"),
+        F.sum(F.when(t == "JOB", 1).otherwise(0)).alias("job_count"),
+        F.sum(F.when(t == "PRODUCT", 1).otherwise(0)).alias("product_count"),
+        F.sum(F.when(t == "ARTICLE", 1).otherwise(0)).alias("article_count"),
+        F.round(F.sum(F.when(p > 0, p).otherwise(0.0)), 6).alias("total_price"),
+        # quirk reproduced: denominator is ALL items (server.cpp:727-731)
+        F.round(
+            F.sum(F.when(p > 0, p).otherwise(0.0)) / F.count("*"), 6
+        ).alias("avg_price"),
+        F.round(
+            F.sum(F.when(r > 0, r).otherwise(0))
+            / F.greatest(F.sum(F.when(r > 0, 1).otherwise(0)), F.lit(1)),
+            6,
+        ).alias("avg_rating"),
+        F.countDistinct(c).alias("category_count"),
+        F.concat_ws(", ", F.array_sort(F.collect_set(c))).alias("categories"),
+    )
+
+
+def item_stats_sql(table: str, type_col: str, price_col: str,
+                   rating_col: str, category_col: str) -> str:
+    t, p, r, c = type_col, price_col, rating_col, category_col
+    return f"""
+SELECT count(*) AS total_items,
+       sum(CASE WHEN {t} = 'BOOK' THEN 1 ELSE 0 END) AS book_count,
+       sum(CASE WHEN {t} = 'JOB' THEN 1 ELSE 0 END) AS job_count,
+       sum(CASE WHEN {t} = 'PRODUCT' THEN 1 ELSE 0 END) AS product_count,
+       sum(CASE WHEN {t} = 'ARTICLE' THEN 1 ELSE 0 END) AS article_count,
+       round(sum(CASE WHEN {p} > 0 THEN {p} ELSE 0 END), 6) AS total_price,
+       round(sum(CASE WHEN {p} > 0 THEN {p} ELSE 0 END) / count(*), 6) AS avg_price,
+       round(sum(CASE WHEN {r} > 0 THEN {r} ELSE 0 END) * 1.0
+             / greatest(sum(CASE WHEN {r} > 0 THEN 1 ELSE 0 END), 1), 6) AS avg_rating,
+       count(DISTINCT {c}) AS category_count,
+       array_to_string(list_sort(list(DISTINCT {c})), ', ') AS categories
+FROM {table}
+"""
+
+
+def crawl_rate(events: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts") -> DataFrame:
+    """A5 analog: per-key events/minute over the key's active span
+    (server.cpp:1073-1090 pagesProcessed / uptime_minutes)."""
+    k = F.col(key_col)
+    span_min = (
+        F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+    ) / 60.0
+    return (
+        events.groupBy(k.alias("key"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.count("*") / F.greatest(span_min, F.lit(1.0)), 6
+            ).alias("events_per_minute"),
+        )
+        .orderBy("key")
+    )
+
+
+def crawl_rate_sql(table: str = "events", key: str = "user_id",
+                   ts: str = "ts") -> str:
+    return f"""
+SELECT {key} AS key, count(*) AS n_events,
+       round(count(*) / greatest(
+           (epoch(max({ts})) - epoch(min({ts}))) / 60.0, 1.0), 6
+       ) AS events_per_minute
+FROM {table}
+GROUP BY {key}
+ORDER BY key
+"""

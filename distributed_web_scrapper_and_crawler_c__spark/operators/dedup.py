@@ -1,0 +1,279 @@
+"""Deduplication operators for large-scale corpus building.
+
+The reference dedups by canonical URL / content equality (SURVEY §2.4
+D1-D4); a 100 TB training-data pipeline additionally needs near-duplicate
+detection. All operators here are expressed as DataFrame plans over the
+``documents(doc_id, text, lang, source, n_chars)`` shape:
+
+ - exact dedup: hash-groupBy (one shuffle on a 16-byte key, not the text);
+ - MinHash + LSH: shingle → k min-hashes → banded buckets → candidate pairs
+   (the join is on band keys, never all-pairs);
+ - n-gram Jaccard: exact pairwise similarity via a shared-shingle join —
+   quadratic in per-shingle frequency, so production use gates it behind
+   LSH candidates; exposed directly for oracle checkability;
+ - SimHash: 64-bit majority-vote fingerprint via a vectorized pandas UDF
+   (numpy bit-unpacking over md5-derived token hashes), Hamming-ball pairs;
+ - embedding cosine near-dup: see similarity.py.
+
+Hashes are md5 hex strings so every SQL-expressible operator has a DuckDB
+oracle with *identical* hash values (md5 is identical across engines;
+xxhash64 is Spark-only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: (text_md5, n_docs, keeper_doc_id).
+    Shuffles 16-byte digests, not document bodies — at 100 TB the map-side
+    partial aggregation collapses each partition's duplicates first."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+EXACT_DUP_SQL = """
+SELECT md5(text) AS text_md5,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY md5(text)
+HAVING count(*) > 1
+"""
+
+# ---------------------------------------------------------------------------
+# word-3-gram shingles (shared by minhash / jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — word n-grams of lower(trim(text)); docs shorter
+    than n tokens contribute nothing. Pure Catalyst (split + transform +
+    explode), no Python."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.col("toks")[i + j] for j in range(n)]
+                    ),
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+# DuckDB twin (1-based lists; range(a,b) is [a,b))
+SHINGLES_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+    FROM documents
+)
+SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+WHERE len(t) >= 3
+"""
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+N_BANDS = 4  # rows per band = N_HASHES / N_BANDS = 2
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m7): per-doc minimum of md5("<j>:"+shingle) for 8 seeds.
+    One groupBy over the shingle explosion; min() is order- and
+    duplicate-insensitive, so no distinct is needed. Hash values are hex
+    strings — lexicographic min matches DuckDB byte-for-byte."""
+    sh = shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"m{j}")
+        for j in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql_inner() -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{j}:' || shingle)) AS m{j}" for j in range(N_HASHES)
+    )
+    return f"""
+WITH sh AS ({SHINGLES_SQL})
+SELECT doc_id, {mins}
+FROM sh
+GROUP BY doc_id
+"""
+
+
+MINHASH_SQL = _minhash_sql_inner()
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup candidates: docs sharing any LSH band (band = concatenation
+    of 2 adjacent minhashes). Join key is the band value — cost is bounded
+    by bucket sizes, never all-pairs. Returns (doc_a, doc_b) with a < b."""
+    sig = minhash_signatures(docs).cache()
+    pairs = None
+    for b in range(N_BANDS):
+        band = F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("band")
+        left = sig.select(F.col("doc_id").alias("doc_a"), band)
+        right = sig.select(F.col("doc_id").alias("doc_b"), band)
+        p = left.join(right, "band").filter(F.col("doc_a") < F.col("doc_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.select("doc_a", "doc_b").distinct()
+
+
+def _lsh_sql() -> str:
+    bands = "\nUNION ALL\n".join(
+        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b
+  ON a.m{2 * b} || a.m{2 * b + 1} = b.m{2 * b} || b.m{2 * b + 1}
+WHERE a.doc_id < b.doc_id"""
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH sig AS ({_minhash_sql_inner()})
+SELECT DISTINCT doc_a, doc_b FROM (
+{bands}
+)
+"""
+
+
+LSH_PAIRS_SQL = _lsh_sql()
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact 3-gram Jaccard over distinct shingles:
+    |A∩B| via a shared-shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
+    Returns (doc_a, doc_b, jaccard) rounded to 6 places."""
+    sh = shingles(docs).distinct().cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "szb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({SHINGLES_SQL})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — no SQL oracle; rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash: md5-derived 64-bit hash per whitespace token,
+    bitwise majority vote. Vectorized with numpy bit-unpacking per batch."""
+    import hashlib
+
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        if not t:
+            continue
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(w.encode()).digest()[:8] for w in toks),
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        out[i] = np.int64(
+            np.uint64(
+                sum(np.uint64(1) << np.uint64(j) for j in range(64) if votes[j] > 0)
+            ).astype(np.int64)
+        )
+    return pd.Series(out)
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming-ball pairs via 4-way band blocking (a pair within distance 3
+    must agree on at least one of four 16-bit bands — pigeonhole), then an
+    exact popcount filter. Band join keeps this far from all-pairs."""
+    sh = docs.select(
+        "doc_id", simhash64_udf(F.col("text")).alias("sh")
+    ).cache()
+    banded = sh.select(
+        "doc_id", "sh",
+        *[
+            F.shiftrightunsigned(F.col("sh"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}")
+            for b in range(4)
+        ],
+    )
+    pairs = None
+    for b in range(4):
+        l = banded.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"), F.col(f"b{b}").alias("band"))
+        r = banded.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"), F.col(f"b{b}").alias("band"))
+        p = l.join(r, "band").filter(F.col("doc_a") < F.col("doc_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,175 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small) query
+set against the corpus with the dot product evaluated JVM-side
+(``zip_with`` + ``aggregate``, whole-stage codegen; no Python in the hot
+path). Scale path: random-hyperplane LSH bucketing — corpus vectors are
+signed against a fixed seeded hyperplane set (vectorized pandas UDF over
+Arrow batches), probes hit only their own bucket, turning top-k into a
+per-bucket problem (an IVF-style coarse quantizer would slot in the same
+way: bucket id = nearest centroid).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Top-k cosine neighbors for the first ``n_queries`` vec_ids (excluding
+    self). Query side is broadcast; ranking is deterministic
+    (cosine rounded to 6 places desc, then vec_id asc)."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk_sql(n_queries: int = 5, k: int = 10) -> str:
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv
+    FROM embeddings WHERE vec_id < {n_queries}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           round(CAST(list_cosine_similarity(
+                 list_transform(q.qv, x -> CAST(x AS DOUBLE)),
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE))
+           ) AS DOUBLE), 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path; verified by recall vs brute force, not SQL)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(LongType())
+    def bucket(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        signs = (m @ planes.T) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return bucket
+
+
+def lsh_ann_topk(
+    emb: DataFrame, dim: int, n_queries: int = 5, k: int = 10,
+    n_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane-sign
+    bucket. Recall < 1 by construction; the accompanying test measures it
+    against brute force. At corpus scale the bucket column is precomputed
+    and the corpus is partitioned by it, so a probe touches one partition."""
+    bucket = lsh_bucket_udf(dim, n_planes, seed)
+    tagged = emb.withColumn("bucket", bucket(F.col("embedding")))
+    q = tagged.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "bucket",
+    )
+    scored = (
+        tagged.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_cosine_near_dups(emb: DataFrame, threshold: float = 0.95,
+                               n_planes: int = 6, seed: int = 7) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold, LSH-blocked
+    (multi-band: two independent plane sets; a high-cosine pair almost
+    surely agrees in at least one)."""
+    dim = len(emb.select("embedding").first()[0])
+    pairs = None
+    for s in (seed, seed + 1):
+        bucket = lsh_bucket_udf(dim, n_planes, s)
+        tagged = emb.select(
+            "vec_id", "embedding", bucket(F.col("embedding")).alias("bucket")
+        )
+        l = tagged.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
+        )
+        r = tagged.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
+        )
+        p = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
