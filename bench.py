@@ -1,0 +1,152 @@
+"""Bench harness: headline queries + a frontier-drain crawl, one JSON line.
+
+Run:  python bench.py
+Env:  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+      SPARK_GRAFT_CPUS    local[N] cores (default 32)
+      SPARK_GRAFT_CRAWL_BOOKS  synthetic-site size for the crawl bench
+                               (default 3000 books ≈ 3.2k pages)
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+The headline set covers every operator family from SURVEY.md §2 that the
+driver's correctness gate checks, plus the engine's real workload: a
+multi-round BFS crawl to frontier drain (urls_per_sec + rounds_to_drain
+are the BASELINE.json metrics). Scaling evidence across parallelism
+levels lives in bench_scaling.py / BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _force(df) -> int:
+    """Fully execute a plan. The noop sink materializes every column
+    (a bare count() would let Catalyst prune UDF projections)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"bench-local{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+# Representative subset of __spark_entry__.queries(): every operator family,
+# skipping only near-duplicate variants (e.g. the expr twin of a UDF query).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "broadcast_dim_join",
+    "url_canonicalize",        # pandas-UDF kernel over 20k urls
+    "url_predicates",
+    "price_rating_coercion",
+    "item_stats",
+    "crawl_rate",
+    "dedup_first_wins",
+    "seen_anti_join",
+    "window_last_n",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "text_token_counts",
+    "text_quality",
+    "text_langid",
+    "doc_fingerprints",
+]
+
+
+def crawl_bench(spark, n_books: int) -> dict:
+    """Generate a synthetic site and drain the frontier; the engine's real
+    workload. Returns urls/sec and rounds-to-drain (BASELINE.json metrics)."""
+    from distributed_web_scrapper_and_crawler_c__spark.plans.frontier import (
+        CrawlEngine,
+    )
+    from distributed_web_scrapper_and_crawler_c__spark.sources import sitegen
+
+    # wide site (250 books/listing): frontier drains in ~a dozen BFS levels,
+    # so throughput reflects batch parse/join work, not per-round fixed cost
+    spec = sitegen.SiteSpec(n_books=n_books, n_categories=14, books_per_page=250)
+    cpus = spark.sparkContext.defaultParallelism
+    pages = sitegen.pages_dataframe(spark, spec, slices=cpus).persist()
+    n_pages = pages.count()  # materialize before the clock starts
+
+    t0 = time.time()
+    eng = CrawlEngine(spark, pages, use_bloom=True, num_partitions=cpus)
+    eng.run("/catalogue/page-1.html")
+    wall = time.time() - t0
+    pages.unpersist()
+    return {
+        "crawl_wall_sec": round(wall, 3),
+        "crawl_pages_fetched": eng.pages_crawled,
+        "crawl_site_pages": n_pages,
+        "urls_per_sec": round(eng.pages_crawled / wall, 2),
+        "rounds_to_drain": eng.round_num,
+        "crawl_items": eng.items_count,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_books = int(os.environ.get("SPARK_GRAFT_CRAWL_BOOKS", "3000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qmap:
+            continue
+        t0 = time.time()
+        _force(qmap[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    crawl = crawl_bench(spark, n_books)
+    timings["crawl_drain"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_plus_frontier_drain_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cpus": cpus,
+        **crawl,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
