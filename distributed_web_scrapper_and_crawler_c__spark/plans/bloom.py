@@ -47,8 +47,7 @@ def build_bloom(df: DataFrame, col: str, m_bits: int | None = None) -> tuple[byt
     Returns (bitmap bytes, m_bits). Hashing is JVM-side xxhash64; bitmap
     build is per-partition numpy, OR-merged with treeAggregate.
     """
-    n = df.count()
-    m = m_bits or _next_pow2(max(1, n) * 16)
+    m = m_bits or _next_pow2(max(1, df.count()) * 16)
 
     hashed = df.select(
         F.xxhash64(F.col(col)).alias("h1"),

@@ -41,6 +41,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 
 from ..functions import expressions as X
 from ..functions import kernels as K
@@ -73,6 +74,7 @@ class RoundMetrics:
     links_ignored: int
     wall_ms: float
     partition_fetch_counts: dict = field(default_factory=dict)
+    phase_ms: dict = field(default_factory=dict)
 
 
 class CrawlEngine:
@@ -100,6 +102,14 @@ class CrawlEngine:
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
         self.items: DataFrame = spark.createDataFrame([], ITEMS_SCHEMA)
+        # incremental state: seen/items grow by union of per-round pinned
+        # increments (never re-materialized whole — O(rounds) not O(rounds²))
+        self._seen_parts: list[DataFrame] = []
+        self._item_parts: list[DataFrame] = [self.items]
+        self.frontier_size = 0
+        # incremental Bloom bitmap (driver-held, OR-merged per round)
+        self._bloom_bm = None
+        self._bloom_m = 0
         self.metrics: list[RoundMetrics] = []
         self.round_num = 0
         self.next_seq = 0
@@ -128,15 +138,39 @@ class CrawlEngine:
         self.frontier = self._pin(
             self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
         )
-        self.seen = self._pin(
+        seed_seen = self._pin(
             self.spark.createDataFrame(
                 [(c, s, 0) for (s, _p, _u, c, _h, _ps, _lr, _r) in rows],
                 SEEN_SCHEMA,
             ).dropDuplicates(["canonical"])
         )
+        self._seen_parts = [seed_seen]
+        self.seen = seed_seen
+        self.frontier_size = len(rows)
         self.next_seq = len(rows)
         self._write_checkpoint()
         return self
+
+    # ------------------------------------------------------------------ bloom
+
+    def _bloom_ensure(self) -> None:
+        """(Re)build the driver-held bitmap from the full seen-set when
+        absent or past capacity; otherwise it is OR-updated incrementally."""
+        import numpy as np
+
+        n = max(1, self.next_seq)
+        if self._bloom_bm is None or n * 16 > self._bloom_m:
+            self._bloom_m = BL._next_pow2(n * 32)  # headroom: rebuilds are rare
+            bm, _ = BL.build_bloom(self.seen, "canonical", self._bloom_m)
+            self._bloom_bm = np.frombuffer(bm, dtype=np.uint8).copy()
+
+    def _bloom_add(self, df: DataFrame, col: str) -> None:
+        import numpy as np
+
+        bm, _ = BL.build_bloom(df, col, self._bloom_m)
+        np.bitwise_or(
+            self._bloom_bm, np.frombuffer(bm, dtype=np.uint8), out=self._bloom_bm
+        )
 
     # ------------------------------------------------------------------ round
 
@@ -147,21 +181,29 @@ class CrawlEngine:
         if self.max_pages > 0 and self.pages_crawled >= self.max_pages:
             self.stopped = True
             return False
-        if self.frontier.limit(1).count() == 0:
+        if self.frontier_size == 0:
             return False
         t0 = time.time()
+        _ph: dict[str, float] = {}
+        _last = [t0]
+
+        def mark(name: str) -> None:
+            now = time.time()
+            _ph[name] = round((now - _last[0]) * 1000, 1)
+            _last[0] = now
 
         # --- dequeue under per-host politeness budget (Q2/Q8) -------------
         if self.host_budget is not None:
             w = Window.partitionBy("host").orderBy("seq")
-            slice_df = (
+            slice_df = self._pin(
                 self.frontier.withColumn("_hrk", F.row_number().over(w))
                 .filter(F.col("_hrk") <= self.host_budget)
                 .drop("_hrk")
             )
+            n_slice = slice_df.count()
         else:
-            slice_df = self.frontier
-        slice_df = self._pin(slice_df)
+            slice_df = self.frontier  # already pinned; whole frontier drains
+            n_slice = self.frontier_size
 
         # --- "fetch": inner equi-join against the page store ---------------
         # broadcast the bounded slice → one pass over pages, no pages shuffle
@@ -182,13 +224,13 @@ class CrawlEngine:
                 .drop("_hit", "_before")
             )
             popped = self._pin(popped)
+            n_popped = popped.count()
             hits = hits.join(popped.select("seq"), "seq", "leftsemi")
         else:
             popped = slice_df
+            n_popped = n_slice
 
         hits = self._pin(hits.withColumn("_pid", F.spark_partition_id()))
-        n_popped = popped.count()
-        n_hits = hits.count()
         if n_popped == 0:
             self.stopped = True
             return False
@@ -198,22 +240,39 @@ class CrawlEngine:
                 self.dequeue_log.append(
                     (self.round_num, r["seq"], r["path"], r["seq"] in hit_seqs)
                 )
+        # one job: per-partition lineage counts AND the fetched total
         part_counts = {
             r["_pid"]: r["cnt"]
             for r in hits.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
         }
+        n_hits = sum(part_counts.values())
+        mark("dequeue_fetch")
         self.pages_crawled += n_hits
 
-        # --- books: gated parse, canonical-URL dedup in discovery order ----
+        # --- parse: ONE UDF pass over the fetched html produces both the
+        # gated book records (P3: category pages only) and the sorted link
+        # arrays; pinned so neither downstream branch re-parses -------------
+        page_url = F.concat(F.lit(self.base_url), F.col("path"))
+        parsed = self._pin(
+            hits.select(
+                "seq",
+                "path",
+                F.when(
+                    X.book_parse_gate_expr(F.col("path")),
+                    U.parse_books_udf(F.col("html"), page_url),
+                )
+                .otherwise(F.lit(None).cast(ArrayType(U.BOOK_STRUCT)))
+                .alias("books"),
+                U.extract_links_udf(F.col("html"), page_url).alias("links"),
+            )
+        )
+
+        # --- books: canonical-URL dedup in discovery order -----------------
         pods = (
-            hits.filter(X.book_parse_gate_expr(F.col("path")))
+            parsed.filter(F.col("books").isNotNull())
             .select(
                 F.col("seq").alias("parent_seq"),
-                F.posexplode(
-                    U.parse_books_udf(
-                        F.col("html"), F.concat(F.lit(self.base_url), F.col("path"))
-                    )
-                ).alias("book_rank", "_bk"),
+                F.posexplode("books").alias("book_rank", "_bk"),
             )
             .select("parent_seq", "book_rank", "_bk.*")
             .withColumn("canonical_url", U.canonicalize_udf(F.col("url")))
@@ -229,31 +288,38 @@ class CrawlEngine:
         new_items = with_global_seq(
             fresh, ["parent_seq", "book_rank"], start=self.items_count,
             seq_col="item_seq", num_partitions=self.n_part,
+            # plan hint only (correctness-free): records-per-page bound proxy
+            approx_rows=n_hits * 256,
         )
-        new_items = new_items.select(
-            "item_seq", "parent_seq", "book_rank", "url", "canonical_url",
-            "title", "price", "rating",
-            U.price_value_udf(F.col("price")).alias("price_value"),
-            X.rating_value_expr(F.col("rating")).alias("rating_value"),
-            X.classify_item_type_expr(X.url_host_expr(F.col("url"))).alias("item_type"),
-            F.lit(self.round_num).alias("round"),
+        new_items = self._pin(
+            new_items.select(
+                "item_seq", "parent_seq", "book_rank", "url", "canonical_url",
+                "title", "price", "rating",
+                U.price_value_udf(F.col("price")).alias("price_value"),
+                X.rating_value_expr(F.col("rating")).alias("rating_value"),
+                X.classify_item_type_expr(X.url_host_expr(F.col("url"))).alias(
+                    "item_type"
+                ),
+                F.lit(self.round_num).alias("round"),
+            )
         )
-        self.items = self._pin(self.items.unionByName(new_items))
-        new_item_count = self.items.count() - self.items_count
+        new_item_count = new_items.count()
+        self._item_parts.append(new_items)
+        self.items = self.items.unionByName(new_items)  # lazy over pinned parts
         self.items_count += new_item_count
+        mark("parse_books")
 
-        # --- links: extract (sorted), scope-filter, enqueue-dedup ----------
-        lk = hits.select(
+        # --- links: scope-filter + enqueue-dedup (explode of pinned parse) --
+        lk = parsed.select(
             F.col("seq").alias("parent_seq"),
-            F.posexplode(
-                U.extract_links_udf(
-                    F.col("html"), F.concat(F.lit(self.base_url), F.col("path"))
-                )
-            ).alias("link_rank", "link"),
-        )
-        lk = self._pin(lk.withColumn("ignored", X.should_ignore_url_expr(F.col("link"))))
-        n_extracted = lk.count()
-        n_ignored = lk.filter("ignored").count()
+            F.posexplode("links").alias("link_rank", "link"),
+        ).withColumn("ignored", X.should_ignore_url_expr(F.col("link")))
+        _cnt = lk.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.col("ignored").cast("int")), F.lit(0)).alias("ig"),
+        ).first()
+        n_extracted, n_ignored = _cnt["n"], _cnt["ig"]
+        mark("extract_links")
 
         kept = (
             lk.filter(~F.col("ignored"))
@@ -268,10 +334,14 @@ class CrawlEngine:
             .withColumn("canonical", U.canonicalize_udf(F.col("link")))
         )
 
-        # Bloom pre-filter: definitely-new rows skip the exact anti-join
+        # Bloom pre-filter: definitely-new rows skip the exact anti-join.
+        # Bitmap is incremental — only this round's new canonicals are
+        # hashed in; full rebuilds only on capacity growth.
         if self.use_bloom:
-            bitmap, m_bits = BL.build_bloom(self.seen, "canonical")
-            probe = BL.maybe_seen_col(self.spark, bitmap, m_bits)
+            self._bloom_ensure()
+            probe = BL.maybe_seen_col(
+                self.spark, self._bloom_bm.tobytes(), self._bloom_m
+            )
             kept = kept.withColumn(
                 "_maybe", probe(F.xxhash64("canonical"), F.xxhash64("canonical", F.lit(1)))
             )
@@ -291,7 +361,7 @@ class CrawlEngine:
         new_frontier = self._pin(
             with_global_seq(
                 firsts, ["parent_seq", "link_rank"], start=self.next_seq,
-                num_partitions=self.n_part,
+                num_partitions=self.n_part, approx_rows=n_extracted,
             ).select(
                 "seq", "path", "url", "canonical",
                 X.url_host_expr(F.col("url")).alias("host"),
@@ -301,14 +371,25 @@ class CrawlEngine:
         )
         n_new = new_frontier.count()
         self.next_seq += n_new
+        mark("dedup_seq")
 
-        leftover = self.frontier.join(popped.select("seq"), "seq", "left_anti")
-        self.frontier = self._pin(leftover.unionByName(new_frontier))
-        self.seen = self._pin(
-            self.seen.unionByName(
-                new_frontier.select("canonical", "seq", "round_added")
+        if n_popped == self.frontier_size:
+            # whole frontier drained — no leftover to carry
+            self.frontier = new_frontier
+            self.frontier_size = n_new
+        else:
+            leftover = self.frontier.join(
+                popped.select("seq"), "seq", "left_anti"
             )
-        )
+            self.frontier = self._pin(leftover.unionByName(new_frontier))
+            self.frontier_size = self.frontier_size - n_popped + n_new
+
+        new_seen = new_frontier.select("canonical", "seq", "round_added")
+        self._seen_parts.append(new_seen)
+        self.seen = self.seen.unionByName(new_seen)  # lazy over pinned parts
+        if self.use_bloom and n_new:
+            self._bloom_add(new_seen, "canonical")
+        mark("state_update")
 
         self.metrics.append(
             RoundMetrics(
@@ -323,11 +404,12 @@ class CrawlEngine:
                 links_ignored=n_ignored,
                 wall_ms=(time.time() - t0) * 1000,
                 partition_fetch_counts=part_counts,
+                phase_ms=_ph,
             )
         )
         self.round_num += 1
         self._write_checkpoint()
-        if self.max_pages > 0 and n_popped < slice_df.count():
+        if self.max_pages > 0 and n_popped < n_slice:
             # cap bound mid-slice: remaining dequeues never happen
             self.stopped = True
         return True
@@ -384,6 +466,9 @@ class CrawlEngine:
         eng.frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(str(d / "frontier"))
         eng.seen = spark.read.schema(SEEN_SCHEMA).parquet(str(d / "seen"))
         eng.items = spark.read.schema(ITEMS_SCHEMA).parquet(str(d / "items"))
+        eng._seen_parts = [eng.seen]
+        eng._item_parts = [eng.items]
+        eng.frontier_size = eng.frontier.count()
         eng.round_num = state["round"]
         eng.next_seq = state["next_seq"]
         eng.pages_crawled = state["pages_crawled"]

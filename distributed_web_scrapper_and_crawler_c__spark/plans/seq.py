@@ -24,19 +24,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# below this many rows a single-partition row_number beats the two-phase
+# prefix sum (range-partitioner sampling pass + shuffle + offset collect)
+SMALL_SEQ_ROWS = 4_000_000
+
+
 def with_global_seq(
     df: DataFrame,
     order_cols: list[str],
     start: int = 0,
     seq_col: str = "seq",
     num_partitions: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Assign ``seq_col`` = start, start+1, ... in ``order_cols`` order.
 
     ``order_cols`` must be a unique key of ``df`` (ties would make the
-    global order ambiguous). Returns a localCheckpoint-pinned DataFrame.
+    global order ambiguous).
+
+    ``approx_rows`` is a physical-plan hint only (AQE-style size switch):
+    when the caller knows the input is small, a plain global-window
+    ``row_number`` is used — one shuffle, no sampling pass, no offset
+    collect. A wrong hint never changes the assigned sequence, only which
+    plan computes it. With no hint (or a large one) the scalable two-phase
+    prefix-sum path runs; that path returns a localCheckpoint-pinned frame.
     """
     import pandas as pd
+
+    if approx_rows is not None and approx_rows < SMALL_SEQ_ROWS:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(
+            seq_col, (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
+        )
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
