@@ -124,6 +124,16 @@ PRICE_STR_EXPR = (
     "lpad(CAST(CAST(p_partkey % 100 AS INT) AS STRING), 2, '0')) END"
 )
 
+# malformed-url mix exercising F12/F13 (worker.cpp:311-348)
+MALFORMED_URL_EXPR = (
+    "CASE CAST(p_partkey % 5 AS INT)"
+    " WHEN 0 THEN concat('http://books.toscrape.comhttp://books.toscrape.com/x', CAST(p_partkey AS STRING))"
+    " WHEN 1 THEN concat('mhttp://books.toscrape.com/y', CAST(p_partkey AS STRING))"
+    " WHEN 2 THEN concat('http://http://books.toscrape.com/z', CAST(p_partkey AS STRING))"
+    " WHEN 3 THEN ''"
+    " ELSE concat('http://books.toscrape.com/ok', CAST(p_partkey AS STRING)) END"
+)
+
 RATING_WORD_EXPR = (
     "CASE CAST(p_partkey % 7 AS INT)"
     " WHEN 0 THEN 'One' WHEN 1 THEN 'Two' WHEN 2 THEN 'Three'"
@@ -203,6 +213,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["price_rating_coercion"] = price_rating_coercion
+
+    def url_repair(spark, sf):
+        u = _t(spark, sf, "part").selectExpr(
+            "p_partkey", f"{MALFORMED_URL_EXPR} AS url"
+        )
+        return u.select(
+            "p_partkey", "url",
+            X.is_valid_url_expr(F.col("url")).alias("is_valid"),
+            X.fix_malformed_url_expr(F.col("url")).alias("repaired"),
+        )
+
+    q["url_repair"] = url_repair
 
     # ---- aggregations (A1-A6) ----
 
@@ -443,6 +465,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprints"] = doc_fingerprints
 
+    # ---- sequential crawl strategy (rows-only; golden-tested) ----
+
+    def crawl_sequential(spark, sf):
+        from distributed_web_scrapper_and_crawler_c__spark.plans.sequential import (
+            sequential_crawl,
+        )
+        from distributed_web_scrapper_and_crawler_c__spark.sources import sitegen
+
+        spec = sitegen.SiteSpec(n_books=30, n_categories=3, books_per_page=10)
+        pages = sitegen.pages_dataframe(spark, spec, slices=4)
+        return sequential_crawl(spark, pages, max_pages=0)
+
+    q["crawl_sequential"] = crawl_sequential
+
     # ---- multimodal plumbing (rows-only; stubbed decode) ----
 
     def multimodal_features(spark, sf):
@@ -482,6 +518,23 @@ SELECT p_partkey,
         OR instr(url, '.js') > 0
         OR instr(url, 'books.toscrape.com') = 0) AS ignored
 FROM u"""
+
+    o["url_repair"] = f"""
+WITH u AS (SELECT p_partkey, {MALFORMED_URL_EXPR} AS url FROM part),
+s AS (SELECT p_partkey, url,
+        CASE WHEN instr(url, 'http://books.toscrape.comhttp') > 0
+             THEN substr(url, instr(url, 'http://books.toscrape.comhttp') + 24)
+             ELSE url END AS stripped
+      FROM u)
+SELECT p_partkey, url,
+       (url <> '' AND instr(url, 'http://http://') = 0
+        AND instr(url, 'http://https://') = 0
+        AND instr(url, 'https://http://') = 0
+        AND instr(url, 'https://https://') = 0
+        AND instr(url, 'http://books.toscrape.comhttp') = 0) AS is_valid,
+       CASE WHEN stripped LIKE 'mhttp%' THEN substr(stripped, 2)
+            ELSE stripped END AS repaired
+FROM s"""
 
     o["url_classify"] = f"""
 WITH h AS (SELECT c_custkey, {HOST_EXPR} AS host FROM customer)
@@ -618,5 +671,6 @@ FROM embeddings GROUP BY label
     o["text_langid"] = TS.LANGID_SQL
 
     # rows-only (no oracle): dedup_simhash, ann_lsh_topk, doc_fingerprints,
-    # multimodal_features — non-SQL-expressible kernels; covered by pytest.
+    # multimodal_features, crawl_sequential — non-SQL-expressible kernels /
+    # iterative strategies; covered by pytest golden tests.
     return o

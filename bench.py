@@ -43,6 +43,7 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -149,3 +149,36 @@ def url_host_expr(url: Column) -> Column:
     """scheme-stripped host (split at first '/' after the scheme)."""
     no_scheme = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     return F.substring_index(no_scheme, "/", 1)
+
+
+# --- F12/F13: URL validity + repair (worker.cpp:311-348) ---
+
+_MARKER = "http://" + DOMAIN + "http"
+
+
+def is_valid_url_expr(url: Column) -> Column:
+    """F12 — reject empty, double-protocol, domain-concatenation urls
+    (worker.cpp:311-332). Expression twin of kernels.is_valid_url."""
+    bad = (
+        url.contains("http://http://")
+        | url.contains("http://https://")
+        | url.contains("https://http://")
+        | url.contains("https://https://")
+        | url.contains(_MARKER)
+    )
+    return (url != F.lit("")) & ~bad
+
+
+def fix_malformed_url_expr(url: Column) -> Column:
+    """F13 — strip a duplicated-domain prefix (substr(pos+24): one 'm'
+    survives, reference bug reproduced, worker.cpp:335-348), then the
+    worker's leading-'mhttp' strip (worker.cpp:800-803). Expression twin of
+    kernels.fix_malformed_url."""
+    pos = F.instr(url, _MARKER)  # 1-based; 0 = absent
+    stripped = F.when(
+        pos > 0, url.substr(pos + 24, F.length(url))
+    ).otherwise(url)
+    return F.when(
+        stripped.startswith("mhttp"),
+        stripped.substr(F.lit(2), F.length(stripped)),
+    ).otherwise(stripped)

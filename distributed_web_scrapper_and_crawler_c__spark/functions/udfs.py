@@ -91,6 +91,18 @@ def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
+def find_next_link_udf(html: pd.Series) -> pd.Series:
+    """F5 — href inside <li class="next"> (HtmlParser.cpp:86-99); '' if
+    none. Drives the sequential strategy (plans/sequential.py)."""
+    return pd.Series(
+        [
+            _san(K.find_next_link(bytes(h))) if h is not None else ""
+            for h in html
+        ]
+    )
+
+
+@F.pandas_udf(StringType())
 def canonicalize_udf(url: pd.Series) -> pd.Series:
     """F7 — normative canonicalization (expression form in expressions.py is
     the optimized equivalent, asserted equal in tests)."""

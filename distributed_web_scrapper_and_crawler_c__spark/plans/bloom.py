@@ -78,6 +78,26 @@ def build_bloom(df: DataFrame, col: str, m_bits: int | None = None) -> tuple[byt
     return merged.tobytes(), m
 
 
+def bloom_bits_local(df: DataFrame, col: str, m_bits: int) -> np.ndarray:
+    """Driver-side bitmap for SMALL increments: collect only the two
+    xxhash64 probe bases (16 bytes/row, Arrow transfer) and set bits with
+    numpy locally — one tiny job, no RDD/treeAggregate machinery. The
+    distributed ``build_bloom`` remains the path for large inputs."""
+    pdf = df.select(
+        F.xxhash64(F.col(col)).alias("h1"),
+        F.xxhash64(F.col(col), F.lit(1)).alias("h2"),
+    ).toPandas()
+    bm = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(pdf):
+        bits = _probe_bits(
+            pdf["h1"].to_numpy().astype(np.int64).view(np.uint64),
+            pdf["h2"].to_numpy().astype(np.int64).view(np.uint64),
+            m_bits,
+        ).ravel()
+        np.bitwise_or.at(bm, bits >> 3, (1 << (bits & 7)).astype(np.uint8))
+    return bm
+
+
 def maybe_seen_col(spark, bitmap: bytes, m_bits: int):
     """Returns a function mapping (h1_col, h2_col) → boolean Column: True if
     the key is POSSIBLY in the filter (must go to the exact anti-join),

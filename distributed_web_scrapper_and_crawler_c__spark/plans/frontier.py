@@ -88,6 +88,7 @@ class CrawlEngine:
         checkpoint_dir: str | None = None,
         use_bloom: bool = False,
         num_partitions: int | None = None,
+        broadcast_threshold: int = 100_000,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -98,6 +99,7 @@ class CrawlEngine:
         self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
         self.use_bloom = use_bloom
         self.n_part = num_partitions or spark.sparkContext.defaultParallelism
+        self.broadcast_threshold = broadcast_threshold
 
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
@@ -164,13 +166,15 @@ class CrawlEngine:
             bm, _ = BL.build_bloom(self.seen, "canonical", self._bloom_m)
             self._bloom_bm = np.frombuffer(bm, dtype=np.uint8).copy()
 
-    def _bloom_add(self, df: DataFrame, col: str) -> None:
+    def _bloom_add(self, df: DataFrame, col: str, n_rows: int) -> None:
         import numpy as np
 
-        bm, _ = BL.build_bloom(df, col, self._bloom_m)
-        np.bitwise_or(
-            self._bloom_bm, np.frombuffer(bm, dtype=np.uint8), out=self._bloom_bm
-        )
+        if n_rows < 1_000_000:
+            inc = BL.bloom_bits_local(df, col, self._bloom_m)
+        else:
+            bm, _ = BL.build_bloom(df, col, self._bloom_m)
+            inc = np.frombuffer(bm, dtype=np.uint8)
+        np.bitwise_or(self._bloom_bm, inc, out=self._bloom_bm)
 
     # ------------------------------------------------------------------ round
 
@@ -206,8 +210,15 @@ class CrawlEngine:
             n_slice = self.frontier_size
 
         # --- "fetch": inner equi-join against the page store ---------------
-        # broadcast the bounded slice → one pass over pages, no pages shuffle
-        hits = self.pages.join(F.broadcast(slice_df), "url", "inner")
+        # small slices broadcast (one pass over pages, zero shuffle, but the
+        # driver must collect + build the hash relation — serial); large
+        # slices use a shuffle join instead, whose url-hash exchange also
+        # serves as the salt-spread for parse parallelism
+        broadcast_fetch = n_slice <= self.broadcast_threshold
+        if broadcast_fetch:
+            hits = self.pages.join(F.broadcast(slice_df), "url", "inner")
+        else:
+            hits = self.pages.join(slice_df, "url", "inner")
 
         # --- max_pages truncation (Crawler.cpp:172 semantics) --------------
         if self.max_pages > 0:
@@ -230,6 +241,14 @@ class CrawlEngine:
             popped = slice_df
             n_popped = n_slice
 
+        # salt-spread the budgeted slice for parse parallelism (SURVEY §4):
+        # a broadcast fetch preserves the page store's layout, so a host's
+        # hub pages can land in one partition; url-hash repartitioning
+        # spreads the already-budgeted slice evenly WITHOUT touching seq
+        # order (ordering is logical, carried by the seq column). The
+        # shuffle-join path is already url-hash partitioned — no extra pass.
+        if broadcast_fetch:
+            hits = hits.repartition(self.n_part, "url")
         hits = self._pin(hits.withColumn("_pid", F.spark_partition_id()))
         if n_popped == 0:
             self.stopped = True
@@ -285,15 +304,12 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        new_items = with_global_seq(
-            fresh, ["parent_seq", "book_rank"], start=self.items_count,
-            seq_col="item_seq", num_partitions=self.n_part,
-            # plan hint only (correctness-free): records-per-page bound proxy
-            approx_rows=n_hits * 256,
-        )
-        new_items = self._pin(
-            new_items.select(
-                "item_seq", "parent_seq", "book_rank", "url", "canonical_url",
+        # heavy per-row projections run HERE, in parallel, before seq
+        # assignment (seq needs only the order key; putting UDF work after
+        # it would serialize into the seq stage's partitions)
+        fresh = self._pin(
+            fresh.select(
+                "parent_seq", "book_rank", "url", "canonical_url",
                 "title", "price", "rating",
                 U.price_value_udf(F.col("price")).alias("price_value"),
                 X.rating_value_expr(F.col("rating")).alias("rating_value"),
@@ -303,7 +319,18 @@ class CrawlEngine:
                 F.lit(self.round_num).alias("round"),
             )
         )
-        new_item_count = new_items.count()
+        new_item_count = fresh.count()
+        new_items = self._pin(
+            with_global_seq(
+                fresh, ["parent_seq", "book_rank"], start=self.items_count,
+                seq_col="item_seq", num_partitions=self.n_part,
+                approx_rows=new_item_count,
+            ).select(
+                "item_seq", "parent_seq", "book_rank", "url", "canonical_url",
+                "title", "price", "rating", "price_value", "rating_value",
+                "item_type", "round",
+            )
+        )
         self._item_parts.append(new_items)
         self.items = self.items.unionByName(new_items)  # lazy over pinned parts
         self.items_count += new_item_count
@@ -342,8 +369,16 @@ class CrawlEngine:
             probe = BL.maybe_seen_col(
                 self.spark, self._bloom_bm.tobytes(), self._bloom_m
             )
-            kept = kept.withColumn(
-                "_maybe", probe(F.xxhash64("canonical"), F.xxhash64("canonical", F.lit(1)))
+            # pin once: the canonicalize UDF + probe run exactly one pass;
+            # the sure-new / maybe branches below are then free filters
+            kept = self._pin(
+                kept.withColumn(
+                    "_maybe",
+                    probe(
+                        F.xxhash64("canonical"),
+                        F.xxhash64("canonical", F.lit(1)),
+                    ),
+                )
             )
             sure_new = kept.filter(~F.col("_maybe")).drop("_maybe")
             maybe = kept.filter(F.col("_maybe")).drop("_maybe")
@@ -358,18 +393,26 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn", "ignored", "link")
         )
-        new_frontier = self._pin(
-            with_global_seq(
-                firsts, ["parent_seq", "link_rank"], start=self.next_seq,
-                num_partitions=self.n_part, approx_rows=n_extracted,
-            ).select(
-                "seq", "path", "url", "canonical",
+        # same pin-then-number pattern as items: projections in parallel,
+        # the seq stage moves only final columns
+        firsts = self._pin(
+            firsts.select(
+                "path", "url", "canonical",
                 X.url_host_expr(F.col("url")).alias("host"),
                 "parent_seq", "link_rank",
                 F.lit(self.round_num + 1).alias("round_added"),
             )
         )
-        n_new = new_frontier.count()
+        n_new = firsts.count()
+        new_frontier = self._pin(
+            with_global_seq(
+                firsts, ["parent_seq", "link_rank"], start=self.next_seq,
+                num_partitions=self.n_part, approx_rows=n_new,
+            ).select(
+                "seq", "path", "url", "canonical", "host",
+                "parent_seq", "link_rank", "round_added",
+            )
+        )
         self.next_seq += n_new
         mark("dedup_seq")
 
@@ -388,7 +431,7 @@ class CrawlEngine:
         self._seen_parts.append(new_seen)
         self.seen = self.seen.unionByName(new_seen)  # lazy over pinned parts
         if self.use_bloom and n_new:
-            self._bloom_add(new_seen, "canonical")
+            self._bloom_add(new_seen, "canonical", n_new)
         mark("state_update")
 
         self.metrics.append(

@@ -25,8 +25,11 @@ from pyspark.sql import functions as F
 
 
 # below this many rows a single-partition row_number beats the two-phase
-# prefix sum (range-partitioner sampling pass + shuffle + offset collect)
-SMALL_SEQ_ROWS = 4_000_000
+# prefix sum (range-partitioner sampling pass + shuffle + offset collect);
+# above it the serial numbering task dominates (~30µs/row) while the
+# two-phase fixed cost stays ~2s — callers pin their input first, so the
+# sampling pass reads checkpointed data, not the UDF pipeline
+SMALL_SEQ_ROWS = 100_000
 
 
 def with_global_seq(

@@ -1,0 +1,151 @@
+"""The reference's *sequential* crawl strategy as a Spark plan.
+
+``crawl_website`` (/root/reference/src/Crawler.cpp:37-135) is the
+single-chain strategy: fetch the start page, parse its books
+(parse_books, F3), dedup each book by canonical url first-wins
+(Crawler.cpp:84-95), follow the ``<li class="next">`` link (find_next_link,
+F5), repeat until no next link / fetch failure / ``max_pages``.
+
+Spark-first shape — the chain is a linked list, so the *walk* is inherently
+serial, but everything per-page is not:
+
+1. ONE distributed pass over listing-shaped pages precomputes
+   ``(url, next_href)`` edges — tiny metadata (two strings per page),
+   collected to the driver.
+2. The driver chases pointers over that map (pure in-memory walk, no Spark
+   jobs in the loop).
+3. ONE distributed job fetches + parses the chain's pages with the chain
+   index attached, explodes books, and applies the first-wins canonical-url
+   dedup ordered by ``(chain_idx, book_rank)`` — identical to the
+   reference's sequential insert order.
+
+Divergence note (deliberate): the reference passes the raw ``next`` href as
+the HTTP request path (HttpClient.cpp:152 builds ``GET <href> HTTP/1.1``
+with no resolution), so a path-relative href like ``page-2.html`` yields a
+request only lenient servers resolve. We resolve hrefs with the
+reference's own normalize_url (F6, HtmlParser.cpp:102-146) against the
+current page's url — the crawl a compliant client would perform. A next
+url absent from the page store ends the chain (empty-response break,
+Crawler.cpp:66-69).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import expressions as X
+from ..functions import kernels as K
+from ..functions import udfs as U
+
+BOOKS_OUT_SCHEMA = (
+    "chain_idx int, book_rank int, title string, price string, "
+    "rating string, url string, canonical_url string"
+)
+
+
+def next_edges(pages: DataFrame) -> DataFrame:
+    """Distributed precompute of the next-link graph over listing-shaped
+    pages: (url, next_url). next_url is F6-resolved; '' → no next."""
+    listing = pages.filter(X.is_category_page_expr(F.col("url")))
+    return listing.select(
+        "url",
+        U.normalize_udf(
+            U.find_next_link_udf(F.col("html")), F.col("url")
+        ).alias("next_url"),
+    )
+
+
+def sequential_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    hostname: str = "books.toscrape.com",
+    start_path: str = "/catalogue/page-1.html",
+    max_pages: int = 0,
+) -> DataFrame:
+    """Run the sequential strategy; returns the deduped book DataFrame in
+    discovery order (chain_idx, book_rank) — the exact order
+    ``crawl_website`` appends to ``all_books``."""
+    base_url = "http://" + hostname
+
+    edges = {
+        r["url"]: r["next_url"]
+        for r in next_edges(pages.select("url", "html")).collect()
+    }
+
+    chain: list[str] = []
+    cur = base_url + start_path
+    seen_urls = set()
+    while cur and (max_pages <= 0 or len(chain) < max_pages):
+        if cur in seen_urls:  # defensive: a next-cycle would loop forever
+            break
+        if cur not in edges:
+            # page either absent from the store (fetch failure → break,
+            # Crawler.cpp:66-69) or not listing-shaped; the reference still
+            # parses it (finding no pods) and stops at its empty next link.
+            chain.append(cur)
+            break
+        seen_urls.add(cur)
+        chain.append(cur)
+        cur = edges[cur]
+
+    chain_df = spark.createDataFrame(
+        list(enumerate(chain)), "chain_idx int, url string"
+    )
+    fetched = pages.select("url", "html").join(
+        F.broadcast(chain_df), "url", "inner"
+    )
+
+    pods = (
+        fetched.select(
+            "chain_idx",
+            F.posexplode(
+                U.parse_books_udf(F.col("html"), F.col("url"))
+            ).alias("book_rank", "_bk"),
+        )
+        .select("chain_idx", "book_rank", "_bk.*")
+        .withColumn("canonical_url", U.canonicalize_udf(F.col("url")))
+    )
+    w = Window.partitionBy("canonical_url").orderBy("chain_idx", "book_rank")
+    return (
+        pods.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select(
+            "chain_idx", "book_rank", "title", "price", "rating", "url",
+            "canonical_url",
+        )
+        .orderBy("chain_idx", "book_rank")
+    )
+
+
+def sequential_oracle(
+    pages_map: dict[str, bytes],
+    hostname: str = "books.toscrape.com",
+    start_path: str = "/catalogue/page-1.html",
+    max_pages: int = 0,
+) -> list[K.Book]:
+    """Single-threaded transliteration of crawl_website
+    (Crawler.cpp:37-135) with F6-resolved next hrefs, for the golden test."""
+    base_url = "http://" + hostname
+    cur = base_url + start_path
+    out: list[K.Book] = []
+    seen = set()
+    pages_crawled = 0
+    visited = set()
+    while cur and (max_pages <= 0 or pages_crawled < max_pages):
+        if cur in visited:
+            break
+        visited.add(cur)
+        html = pages_map.get(cur)
+        if html is None:
+            break
+        for b in K.parse_books(html, cur):
+            c = K.canonicalize_url(b.url)
+            if c not in seen:
+                seen.add(c)
+                out.append(b)
+        nxt = K.find_next_link(html)
+        cur = K.normalize_url(nxt, cur) if nxt else ""
+        pages_crawled += 1
+    return out

@@ -26,6 +26,7 @@ def save_books_csv(items: DataFrame, path: str, order_col: str = "item_seq") -> 
         .write.mode("overwrite")
         .option("header", True)
         .option("quoteAll", True)
+        .option("escape", '"')
         .csv(path)
     )
 
@@ -64,5 +65,6 @@ def save_items_csv(items: DataFrame, path: str, order_col: str = "item_seq") -> 
         .write.mode("overwrite")
         .option("header", True)
         .option("quoteAll", True)
+        .option("escape", '"')
         .csv(path)
     )

@@ -248,14 +248,24 @@ def iter_pages(spec: SiteSpec) -> Iterator[Page]:
         row += 1
 
 
-def _iter_raw(spec: SiteSpec, lo: int, hi: int):
-    """Pages for the book-id range [lo, hi) plus (in the lo==0 slice) the
-    root/listing/category pages. Partition-parallel building block."""
-    if lo == 0:
+def _iter_raw(spec: SiteSpec, lo: int, hi: int, slice_idx: int = 0,
+              n_slices: int = 1):
+    """Pages for the book-id range [lo, hi) plus this slice's share of the
+    hub pages. Partition-parallel building block.
+
+    Hub pages (root/listing/category) are striped across slices by id —
+    listing and especially category pages are the LARGEST html on the site
+    (every book of the category appears as a pod), so packing them all into
+    slice 0 would manufacture a straggler partition that serializes every
+    downstream parse. Striping models reality: big hub pages of a host are
+    spread across the page-store's partitions."""
+    if slice_idx == 0:
         yield "root", 0, BASE + "/index.html", render_root(spec)
-        for n in range(1, spec.n_listing_pages + 1):
+    for n in range(1, spec.n_listing_pages + 1):
+        if n % n_slices == slice_idx:
             yield "listing", n, listing_url(spec, n), render_listing(spec, n)
-        for c in range(spec.n_categories):
+    for c in range(spec.n_categories):
+        if c % n_slices == slice_idx:
             yield "category", c, category_url(spec, c), render_category(spec, c)
     for b in range(lo, hi):
         yield "detail", b, book_url(spec, b), render_detail(spec, b)
@@ -281,18 +291,22 @@ def pages_dataframe(spark, spec: SiteSpec, slices: int = 32):
 
     n = spec.n_books
     slices = max(1, min(slices, n))
-    bounds = [(i * n // slices, (i + 1) * n // slices) for i in range(slices)]
+    bounds = [
+        (i, i * n // slices, (i + 1) * n // slices) for i in range(slices)
+    ]
     sdf = spark.createDataFrame(
-        [(lo, hi) for lo, hi in bounds], "lo long, hi long"
-    ).repartition(slices, "lo")
+        bounds, "idx long, lo long, hi long"
+    ).repartition(slices, "idx")
 
     def gen(batches):
         for pdf in batches:
-            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+            for idx, lo, hi in zip(pdf["idx"], pdf["lo"], pdf["hi"]):
                 rows = []
                 base_row = 10_000_000 if lo > 0 else 0
                 r = 0
-                for kind, ident, url, html in _iter_raw(spec, int(lo), int(hi)):
+                for kind, ident, url, html in _iter_raw(
+                    spec, int(lo), int(hi), int(idx), slices
+                ):
                     lang = _LANGS[(ident + (0 if kind == "detail" else 7)) % len(_LANGS)]
                     # warc_ts keyed on a stable per-page offset, not global row
                     ts = EPOCH + timedelta(seconds=base_row + int(lo) + r)
