@@ -57,6 +57,7 @@ def crawl(
     start_path: str = "/catalogue/page-1.html",
     max_pages: int = 0,
     host_budget: int | None = None,
+    robots_disallow: list[tuple[str, str]] | None = None,
 ) -> OracleResult:
     base_url = "http://" + hostname
     res = OracleResult()
@@ -121,6 +122,12 @@ def crawl(
                     res.ignored_links += 1
                     continue
                 rel = link[len(base_url):] if link.startswith(base_url) else link
+                if robots_disallow is not None:
+                    lh = K.url_host(link)
+                    if any(lh == h and rel.startswith(pre)
+                           for h, pre in robots_disallow):
+                        res.ignored_links += 1
+                        continue
                 canon = K.canonicalize_url(link)
                 if canon not in res.processed:
                     discovered.append((next_seq, rel))

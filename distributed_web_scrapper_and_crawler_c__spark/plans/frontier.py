@@ -89,6 +89,7 @@ class CrawlEngine:
         use_bloom: bool = False,
         num_partitions: int | None = None,
         broadcast_threshold: int = 100_000,
+        robots_rules: DataFrame | None = None,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -100,6 +101,12 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.n_part = num_partitions or spark.sparkContext.defaultParallelism
         self.broadcast_threshold = broadcast_threshold
+        # data-driven robots rules: (host string, prefix string) = disallowed
+        # path prefixes per host, generalizing the reference's hard-coded
+        # ignore list (F11, HtmlParser.cpp:258-278) into a joinable table.
+        # Applied at enqueue time, like the reference's link filter — blocked
+        # urls never enter the frontier OR the seen-set.
+        self.robots_rules = robots_rules
 
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
@@ -360,6 +367,25 @@ class CrawlEngine:
             .withColumn("url", F.concat(F.lit(self.base_url), F.col("path")))
             .withColumn("canonical", U.canonicalize_udf(F.col("link")))
         )
+
+        # robots: per-host disallowed-prefix anti-join (broadcast rules +
+        # host equi-key with a startswith residual). Placement mirrors the
+        # reference's enqueue-time filter: blocked links are never deduped,
+        # never seen, never fetched.
+        if self.robots_rules is not None:
+            rules = self.robots_rules.select(
+                F.col("host").alias("_rhost"), F.col("prefix").alias("_rprefix")
+            )
+            kept = (
+                kept.withColumn("_khost", X.url_host_expr(F.col("url")))
+                .join(
+                    F.broadcast(rules),
+                    (F.col("_khost") == F.col("_rhost"))
+                    & F.col("path").startswith(F.col("_rprefix")),
+                    "left_anti",
+                )
+                .drop("_khost")
+            )
 
         # Bloom pre-filter: definitely-new rows skip the exact anti-join.
         # Bitmap is incremental — only this round's new canonicals are

@@ -108,3 +108,28 @@ def test_extracted_text_invariant(spark, pages, pages_map):
     }
     for url, html in pages_map.items():
         assert got[url].encode() == sitegen.extracted_text(url, html).encode(), url
+
+
+def test_robots_rules_golden(spark, pages, pages_map):
+    """Data-driven robots disallow table: engine == oracle under the same
+    per-host prefix rules; blocked urls never enter frontier or seen."""
+    disallow = [
+        ("books.toscrape.com", "/catalogue/category/"),
+        ("books.toscrape.com", "/catalogue/page-3"),
+    ]
+    rules = spark.createDataFrame(disallow, "host string, prefix string")
+    eng = run_engine(spark, pages, robots_rules=rules)
+    res = crawl_oracle.crawl(pages_map, robots_disallow=disallow)
+    assert_matches_oracle(eng, res)
+    for _r, _s, p, _f in eng.dequeue_log[1:]:
+        assert not p.startswith("/catalogue/category/")
+        assert not p.startswith("/catalogue/page-3")
+
+
+def test_robots_rules_with_budget_golden(spark, pages, pages_map):
+    disallow = [("books.toscrape.com", "/catalogue/category/")]
+    rules = spark.createDataFrame(disallow, "host string, prefix string")
+    eng = run_engine(spark, pages, robots_rules=rules, host_budget=6,
+                     use_bloom=True)
+    res = crawl_oracle.crawl(pages_map, robots_disallow=disallow, host_budget=6)
+    assert_matches_oracle(eng, res)
