@@ -465,6 +465,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprints"] = doc_fingerprints
 
+    # ---- crawl summary metrics, A6 (rows-only; values from a real crawl) ----
+
+    def crawl_summary(spark, sf):
+        from distributed_web_scrapper_and_crawler_c__spark.plans.frontier import (
+            CrawlEngine,
+        )
+        from distributed_web_scrapper_and_crawler_c__spark.sources import sitegen
+
+        spec = sitegen.SiteSpec(n_books=30, n_categories=3, books_per_page=10)
+        pages = sitegen.pages_dataframe(spark, spec, slices=4)
+        eng = CrawlEngine(spark, pages).run("/catalogue/page-1.html")
+        # A6 (Crawler.cpp:303-314): end-of-run totals over per-round metrics.
+        # metrics_df is per (round, partition) — collapse to rounds first.
+        per_round = eng.metrics_df().groupBy("round").agg(
+            F.first("urls_fetched").alias("urls_fetched"),
+            F.first("links_new").alias("links_new"),
+            F.first("links_dup").alias("links_dup"),
+            F.first("links_ignored").alias("links_ignored"),
+            F.first("books_found").alias("books_found"),
+        )
+        return per_round.agg(
+            F.sum("urls_fetched").alias("pages_crawled"),
+            F.sum("links_new").alias("unique_urls_queued"),
+            F.sum("links_dup").alias("duplicate_urls_skipped"),
+            F.sum("links_ignored").alias("ignored_urls"),
+            F.sum("books_found").alias("unique_books"),
+            F.max("round").alias("last_round"),
+        )
+
+    q["crawl_summary"] = crawl_summary
+
     # ---- sequential crawl strategy (rows-only; golden-tested) ----
 
     def crawl_sequential(spark, sf):

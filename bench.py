@@ -57,6 +57,7 @@ HEADLINE = [
     "broadcast_dim_join",
     "url_canonicalize",        # pandas-UDF kernel over 20k urls
     "url_predicates",
+    "url_repair",
     "price_rating_coercion",
     "item_stats",
     "crawl_rate",
