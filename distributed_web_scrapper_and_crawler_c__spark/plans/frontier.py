@@ -495,12 +495,20 @@ class CrawlEngine:
     # ------------------------------------------------------------- checkpoint
 
     def _write_checkpoint(self) -> None:
+        """Snapshot the round. The frontier is written whole (bounded by the
+        live queue); seen/items are written as THIS round's increment only —
+        the Iceberg-append shape — so total checkpoint I/O is O(total rows),
+        not O(rounds x total rows). Resume unions the increments of the
+        contiguous committed prefix."""
         if self.checkpoint_dir is None:
             return
         d = self.checkpoint_dir / f"r{self.round_num}"
         self.frontier.write.mode("overwrite").parquet(str(d / "frontier"))
-        self.seen.write.mode("overwrite").parquet(str(d / "seen"))
-        self.items.write.mode("overwrite").parquet(str(d / "items"))
+        self._seen_parts[-1].write.mode("overwrite").parquet(
+            str(d / "seen_inc")
+        )
+        items_inc = self._item_parts[-1]
+        items_inc.write.mode("overwrite").parquet(str(d / "items_inc"))
         state = {
             "round": self.round_num,
             "next_seq": self.next_seq,
@@ -528,13 +536,27 @@ class CrawlEngine:
         )
         if not committed:
             raise FileNotFoundError(f"no committed rounds under {checkpoint_dir}")
-        last = committed[-1]
+        # contiguous committed prefix from round 0 (a gap means the run that
+        # wrote the later snapshot is not this lineage — never valid here,
+        # but resume must not silently read across one)
+        last = -1
+        for r in committed:
+            if r != last + 1:
+                break
+            last = r
+        if last < 0:
+            raise FileNotFoundError(f"no committed round 0 under {checkpoint_dir}")
         d = root / f"r{last}"
         eng = cls(spark, pages, checkpoint_dir=checkpoint_dir, **kw)
         state = json.loads((d / "state.json").read_text())
         eng.frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(str(d / "frontier"))
-        eng.seen = spark.read.schema(SEEN_SCHEMA).parquet(str(d / "seen"))
-        eng.items = spark.read.schema(ITEMS_SCHEMA).parquet(str(d / "items"))
+        # seen/items = union of the per-round increments (Iceberg-append shape)
+        eng.seen = spark.read.schema(SEEN_SCHEMA).parquet(
+            *[str(root / f"r{r}" / "seen_inc") for r in range(last + 1)]
+        )
+        eng.items = spark.read.schema(ITEMS_SCHEMA).parquet(
+            *[str(root / f"r{r}" / "items_inc") for r in range(last + 1)]
+        )
         eng._seen_parts = [eng.seen]
         eng._item_parts = [eng.items]
         eng.frontier_size = eng.frontier.count()
