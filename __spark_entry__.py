@@ -395,7 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
     def dedup_simhash(spark, sf):  # rows-only (pandas-UDF kernel)
-        return DD.simhash_near_dups(_t(spark, sf, "documents"), max_hamming=16)
+        # max_hamming=3 — the largest distance the 4×16-bit band blocking
+        # pigeonhole-guarantees full recall for (dedup.py simhash docstring).
+        return DD.simhash_near_dups(_t(spark, sf, "documents"), max_hamming=3)
 
     q["dedup_simhash"] = dedup_simhash
 

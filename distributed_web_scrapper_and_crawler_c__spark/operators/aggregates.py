@@ -29,10 +29,23 @@ def item_stats(
         F.sum(F.when(t == "JOB", 1).otherwise(0)).alias("job_count"),
         F.sum(F.when(t == "PRODUCT", 1).otherwise(0)).alias("product_count"),
         F.sum(F.when(t == "ARTICLE", 1).otherwise(0)).alias("article_count"),
-        F.round(F.sum(F.when(p > 0, p).otherwise(0.0)), 6).alias("total_price"),
+        # price sums run in DECIMAL(38,6) so the result is exact and
+        # independent of partial-aggregate ordering (double summation order
+        # differs between Spark partials and a single-pass oracle); the exact
+        # decimal is cast back to double only at the end.
+        F.round(
+            F.sum(
+                F.when(p > 0, p).otherwise(0.0).cast("decimal(38,6)")
+            ).cast("double"),
+            6,
+        ).alias("total_price"),
         # quirk reproduced: denominator is ALL items (server.cpp:727-731)
         F.round(
-            F.sum(F.when(p > 0, p).otherwise(0.0)) / F.count("*"), 6
+            F.sum(
+                F.when(p > 0, p).otherwise(0.0).cast("decimal(38,6)")
+            ).cast("double")
+            / F.count("*"),
+            6,
         ).alias("avg_price"),
         F.round(
             F.sum(F.when(r > 0, r).otherwise(0))
@@ -53,8 +66,10 @@ SELECT count(*) AS total_items,
        sum(CASE WHEN {t} = 'JOB' THEN 1 ELSE 0 END) AS job_count,
        sum(CASE WHEN {t} = 'PRODUCT' THEN 1 ELSE 0 END) AS product_count,
        sum(CASE WHEN {t} = 'ARTICLE' THEN 1 ELSE 0 END) AS article_count,
-       round(sum(CASE WHEN {p} > 0 THEN {p} ELSE 0 END), 6) AS total_price,
-       round(sum(CASE WHEN {p} > 0 THEN {p} ELSE 0 END) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(CASE WHEN {p} > 0 THEN {p} ELSE 0 END
+                           AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_price,
+       round(CAST(sum(CAST(CASE WHEN {p} > 0 THEN {p} ELSE 0 END
+                           AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_price,
        round(sum(CASE WHEN {r} > 0 THEN {r} ELSE 0 END) * 1.0
              / greatest(sum(CASE WHEN {r} > 0 THEN 1 ELSE 0 END), 1), 6) AS avg_rating,
        count(DISTINCT {c}) AS category_count,

@@ -15,8 +15,17 @@ probes with numpy over whole Arrow batches.
 
 Sizing: m bits for n keys at k=7 gives fpr ≈ 0.82^(m/n·ln2·...); the engine
 sizes m = 16·n rounded to a power of two (fpr ≈ 0.0043). At 10^10 URLs that
-is 20 GB — per-partition bitmaps sharded by canonical-hash range would be
-used instead of a single broadcast; the treeAggregate OR-merge is the same.
+is 20 GB — far past broadcast range — so above a size threshold the engine
+switches to the SHARDED layout implemented below: the key space is split by
+an independent hash into S shards, each shard owns its own bitmap row in a
+``(shard int, bitmap binary)`` DataFrame that lives distributed (pinned per
+round, checkpointable like any other state table), and the probe is a
+``cogroup(applyInPandas)`` on the shard key — every task receives one
+shard's candidate rows plus that shard's bitmap, so no bitmap is ever
+broadcast and per-task memory is m/S regardless of total filter size.
+Candidate rows cross into Python once per round as Arrow batches (the same
+transfer the probe output needs anyway); all hashing stays JVM-side
+xxhash64.
 """
 
 from __future__ import annotations
@@ -96,6 +105,110 @@ def bloom_bits_local(df: DataFrame, col: str, m_bits: int) -> np.ndarray:
         ).ravel()
         np.bitwise_or.at(bm, bits >> 3, (1 << (bits & 7)).astype(np.uint8))
     return bm
+
+
+# ---------------------------------------------------------------------------
+# sharded layout (the ≥10^9-keys path): bitmap state is a DataFrame,
+# probe is a cogroup — nothing is broadcast, per-task memory is m/S.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 64
+SHARD_SCHEMA = "shard int, bitmap binary"
+
+
+def shard_col(col: str, n_shards: int = N_SHARDS):
+    """Shard key from an independent xxhash64 seed (2) so shard placement is
+    uncorrelated with the probe bases (seeds 0 and 1)."""
+    return F.pmod(F.xxhash64(F.col(col), F.lit(2)), F.lit(n_shards)).cast("int")
+
+
+def _set_bits(bm: np.ndarray, h1: np.ndarray, h2: np.ndarray, m_bits: int) -> None:
+    bits = _probe_bits(h1, h2, m_bits).ravel()
+    np.bitwise_or.at(bm, bits >> 3, (1 << (bits & 7)).astype(np.uint8))
+
+
+def build_shard_bitmaps(
+    df: DataFrame, col: str, m_bits: int, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """(shard, bitmap) rows over ``df[col]``; ``m_bits`` is PER-SHARD bits.
+    One shuffle on the shard key; each group builds its bitmap with numpy.
+    Shards with no keys emit no row (probe treats a missing shard as
+    all-definitely-new)."""
+    hashed = df.select(
+        shard_col(col, n_shards).alias("shard"),
+        F.xxhash64(F.col(col)).alias("h1"),
+        F.xxhash64(F.col(col), F.lit(1)).alias("h2"),
+    )
+
+    def mk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        _set_bits(
+            bm,
+            pdf["h1"].to_numpy().astype(np.int64).view(np.uint64),
+            pdf["h2"].to_numpy().astype(np.int64).view(np.uint64),
+            m_bits,
+        )
+        return pd.DataFrame({"shard": [int(key[0])], "bitmap": [bm.tobytes()]})
+
+    return hashed.groupBy("shard").applyInPandas(mk, SHARD_SCHEMA)
+
+
+def or_merge_shard_bitmaps(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two (shard, bitmap) tables; one shuffle on the shard key.
+    (On a cluster this is the treeAggregate-per-shard merge — Spark's
+    partial aggregation runs map-side before the exchange.)"""
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bm = None
+        for buf in pdf["bitmap"]:
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            bm = arr.copy() if bm is None else np.bitwise_or(bm, arr)
+        return pd.DataFrame({"shard": [int(key[0])], "bitmap": [bm.tobytes()]})
+
+    return a.unionByName(b).groupBy("shard").applyInPandas(merge, SHARD_SCHEMA)
+
+
+def probe_sharded(
+    cand: DataFrame,
+    shards: DataFrame,
+    col: str,
+    m_bits: int,
+    n_shards: int = N_SHARDS,
+    out_col: str = "_maybe",
+) -> DataFrame:
+    """``cand`` + boolean ``out_col`` (True = possibly seen, must go to the
+    exact anti-join; False = definitely new). Implemented as a cogroup on
+    the shard key: each task sees one shard's candidates and that shard's
+    single bitmap row — no broadcast of any bitmap."""
+    keyed = cand.withColumn("_shard", shard_col(col, n_shards)).withColumn(
+        "_h1", F.xxhash64(F.col(col))
+    ).withColumn("_h2", F.xxhash64(F.col(col), F.lit(1)))
+
+    out_schema = cand.schema.add(out_col, "boolean")
+    out_cols = [f.name for f in out_schema.fields]
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=out_cols)
+        out = left.drop(columns=["_shard", "_h1", "_h2"])
+        if len(right) == 0:
+            out[out_col] = False
+            return out[out_cols]
+        bm = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+        bits = _probe_bits(
+            left["_h1"].to_numpy().astype(np.int64).view(np.uint64),
+            left["_h2"].to_numpy().astype(np.int64).view(np.uint64),
+            m_bits,
+        )
+        hit = (bm[(bits >> 3).astype(np.int64)] >> (bits & 7).astype(np.uint8)) & 1
+        out[out_col] = hit.all(axis=1)
+        return out[out_cols]
+
+    return (
+        keyed.groupBy("_shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(probe, out_schema)
+    )
 
 
 def maybe_seen_col(spark, bitmap: bytes, m_bits: int):

@@ -47,7 +47,7 @@ from ..functions import expressions as X
 from ..functions import kernels as K
 from ..functions import udfs as U
 from . import bloom as BL
-from .seq import with_global_seq
+from .seq import with_global_seq, with_prefix_sum
 
 FRONTIER_SCHEMA = (
     "seq long, path string, url string, canonical string, host string, "
@@ -75,6 +75,12 @@ class RoundMetrics:
     wall_ms: float
     partition_fetch_counts: dict = field(default_factory=dict)
     phase_ms: dict = field(default_factory=dict)
+    # F17 (worker.cpp:102-109): wall-clock stamp of the round's completion,
+    # the reference's log-line timestamp format
+    ts: str = ""
+    # rows that survived the Bloom pre-filter and went to the exact
+    # anti-join; -1 = bloom disabled (then ALL candidates hit the join)
+    bloom_checked: int = -1
 
 
 class CrawlEngine:
@@ -86,10 +92,11 @@ class CrawlEngine:
         host_budget: int | None = None,
         max_pages: int = 0,
         checkpoint_dir: str | None = None,
-        use_bloom: bool = False,
+        use_bloom: bool = True,
         num_partitions: int | None = None,
         broadcast_threshold: int = 100_000,
         robots_rules: DataFrame | None = None,
+        bloom_shard_threshold: int = 5_000_000,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -116,14 +123,28 @@ class CrawlEngine:
         self._seen_parts: list[DataFrame] = []
         self._item_parts: list[DataFrame] = [self.items]
         self.frontier_size = 0
-        # incremental Bloom bitmap (driver-held, OR-merged per round)
+        # Bloom seen-filter state. Two physical layouts, same semantics:
+        #  - below bloom_shard_threshold seen-URLs: ONE driver-held bitmap,
+        #    OR-updated incrementally, broadcast to the probe UDF;
+        #  - above it: the sharded (shard, bitmap) DataFrame from plans/bloom
+        #    — nothing broadcast, probe is a cogroup, per-task memory m/S.
+        # The switch is one-way (filters only grow) and never changes
+        # answers: both layouts are exact pre-filters ahead of the same
+        # exact anti-join.
+        self.bloom_shard_threshold = bloom_shard_threshold
         self._bloom_bm = None
         self._bloom_m = 0
+        self._bloom_shards: DataFrame | None = None
         self.metrics: list[RoundMetrics] = []
         self.round_num = 0
         self.next_seq = 0
         self.pages_crawled = 0
         self.items_count = 0
+        self.seen_count = 0
+        # rounds before _seen_base_round have had their seen-increments
+        # compacted into that round's snapshot (set by add_seed's removal)
+        self._seen_base_round = 0
+        self._seen_compacted = False
         self.stopped = False
         # golden-test instrumentation: (round, seq, path, fetched) per
         # dequeue, in order. Driver-side — enable only at test scale.
@@ -157,17 +178,86 @@ class CrawlEngine:
         self.seen = seed_seen
         self.frontier_size = len(rows)
         self.next_seq = len(rows)
+        self.seen_count = seed_seen.count()
         self._write_checkpoint()
+        return self
+
+    def add_seed(self, path: str) -> "CrawlEngine":
+        """Q6 — force-requeue (server.cpp:790-812 ``addSeedUrl``): remove the
+        url's canonical from the seen-set, then enqueue it at the frontier
+        tail with the next seq, marking it seen again at enqueue time (the
+        engine's invariant: frontier ⊆ seen). A previously-crawled page is
+        re-fetched on the next round; its links/books then dedup normally.
+
+        The seen removal compacts the per-round seen increments, so the next
+        checkpoint writes the full compacted seen-set and records itself as
+        the new increment base (older seen_inc files are superseded).
+        """
+        url = self.base_url + path if path.startswith("/") else path
+        canon = K.canonicalize_url(url)
+        if self.frontier is None:
+            return self.seed([path if path.startswith("/") else "/" + path])
+
+        removed = self.seen.filter(F.col("canonical") == canon)
+        n_removed = removed.count()
+        if n_removed:
+            compacted = self._pin(
+                self.seen.filter(F.col("canonical") != canon)
+            )
+            self.seen = compacted
+            self._seen_parts = [compacted]
+            self._seen_compacted = True
+            self.seen_count -= n_removed
+            # driver-held bloom bitmap cannot un-set bits; the exact
+            # anti-join decides membership, so a stale positive only costs
+            # one extra probe row — but the REMOVED url must be enqueueable,
+            # which it is: enqueue below bypasses the dedup path entirely.
+
+        p = path if path.startswith("/") else "/" + path
+        row = [(self.next_seq, p, url, canon, K.url_host(url), -1, 0,
+                self.round_num)]
+        new_front = self._pin(self.spark.createDataFrame(row, FRONTIER_SCHEMA))
+        self.frontier = self._pin(self.frontier.unionByName(new_front))
+        self.frontier_size += 1
+        new_seen = self._pin(
+            self.spark.createDataFrame(
+                [(canon, self.next_seq, self.round_num)], SEEN_SCHEMA
+            )
+        )
+        self._seen_parts.append(new_seen)
+        self.seen = self.seen.unionByName(new_seen)
+        self.seen_count += 1
+        if self.use_bloom and (
+            self._bloom_bm is not None or self._bloom_shards is not None
+        ):
+            self._bloom_add(new_seen, "canonical", 1)
+        self.next_seq += 1
+        self.stopped = False
         return self
 
     # ------------------------------------------------------------------ bloom
 
+    @property
+    def _bloom_sharded(self) -> bool:
+        return self.seen_count >= self.bloom_shard_threshold
+
     def _bloom_ensure(self) -> None:
-        """(Re)build the driver-held bitmap from the full seen-set when
-        absent or past capacity; otherwise it is OR-updated incrementally."""
+        """(Re)build the bitmap state from the full seen-set when absent or
+        past capacity; otherwise it is OR-updated incrementally. Above
+        ``bloom_shard_threshold`` seen-URLs the state is the sharded
+        DataFrame layout (driver-held bitmap is dropped)."""
         import numpy as np
 
         n = max(1, self.next_seq)
+        if self._bloom_sharded:
+            # per-shard capacity; rebuild when the whole filter outgrows it
+            if self._bloom_shards is None or n * 16 > self._bloom_m * BL.N_SHARDS:
+                self._bloom_m = BL._next_pow2(n * 32 // BL.N_SHARDS)
+                self._bloom_shards = self._pin(
+                    BL.build_shard_bitmaps(self.seen, "canonical", self._bloom_m)
+                )
+                self._bloom_bm = None
+            return
         if self._bloom_bm is None or n * 16 > self._bloom_m:
             self._bloom_m = BL._next_pow2(n * 32)  # headroom: rebuilds are rare
             bm, _ = BL.build_bloom(self.seen, "canonical", self._bloom_m)
@@ -176,6 +266,12 @@ class CrawlEngine:
     def _bloom_add(self, df: DataFrame, col: str, n_rows: int) -> None:
         import numpy as np
 
+        if self._bloom_shards is not None:
+            inc = BL.build_shard_bitmaps(df, col, self._bloom_m)
+            self._bloom_shards = self._pin(
+                BL.or_merge_shard_bitmaps(self._bloom_shards, inc)
+            )
+            return
         if n_rows < 1_000_000:
             inc = BL.bloom_bits_local(df, col, self._bloom_m)
         else:
@@ -232,11 +328,14 @@ class CrawlEngine:
             remaining = self.max_pages - self.pages_crawled
             flags = slice_df.join(
                 hits.select("seq", F.lit(1).alias("_hit")), "seq", "left"
-            )
-            wseq = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, -1)
+            ).withColumn("_hit", F.coalesce(F.col("_hit"), F.lit(0)))
+            # exclusive running hit-count in seq order via the two-phase
+            # prefix sum (plans/seq.py) — no global single-partition window;
+            # small slices take its size-gated one-shuffle fallback
             popped = (
-                flags.withColumn(
-                    "_before", F.coalesce(F.sum("_hit").over(wseq), F.lit(0))
+                with_prefix_sum(
+                    flags, ["seq"], "_hit", out_col="_before",
+                    num_partitions=self.n_part, approx_rows=n_slice,
                 )
                 .filter(F.col("_before") < remaining)
                 .drop("_hit", "_before")
@@ -371,43 +470,60 @@ class CrawlEngine:
         # robots: per-host disallowed-prefix anti-join (broadcast rules +
         # host equi-key with a startswith residual). Placement mirrors the
         # reference's enqueue-time filter: blocked links are never deduped,
-        # never seen, never fetched.
+        # never seen, never fetched. Blocked rows count as IGNORED links —
+        # the oracle's accounting (crawl_oracle.py: robots_disallow hits
+        # increment ignored_links).
+        n_robots_blocked = 0
         if self.robots_rules is not None:
             rules = self.robots_rules.select(
                 F.col("host").alias("_rhost"), F.col("prefix").alias("_rprefix")
             )
-            kept = (
-                kept.withColumn("_khost", X.url_host_expr(F.col("url")))
-                .join(
-                    F.broadcast(rules),
-                    (F.col("_khost") == F.col("_rhost"))
-                    & F.col("path").startswith(F.col("_rprefix")),
-                    "left_anti",
-                )
-                .drop("_khost")
+            # host from the ORIGINAL link (the oracle's K.url_host(link)) —
+            # deriving it from base_url+path garbles absolute same-domain
+            # links. Pinned so the canonicalize UDF pass runs once and the
+            # blocked-count semi-join + anti-join both read materialized rows.
+            kept = self._pin(
+                kept.withColumn("_khost", X.url_host_expr(F.col("link")))
             )
+            robots_cond = (F.col("_khost") == F.col("_rhost")) & F.col(
+                "path"
+            ).startswith(F.col("_rprefix"))
+            n_robots_blocked = (
+                kept.join(F.broadcast(rules), robots_cond, "left_semi").count()
+            )
+            kept = kept.join(F.broadcast(rules), robots_cond, "left_anti").drop(
+                "_khost"
+            )
+        n_ignored += n_robots_blocked
 
         # Bloom pre-filter: definitely-new rows skip the exact anti-join.
         # Bitmap is incremental — only this round's new canonicals are
         # hashed in; full rebuilds only on capacity growth.
+        n_bloom_checked = -1
         if self.use_bloom:
             self._bloom_ensure()
-            probe = BL.maybe_seen_col(
-                self.spark, self._bloom_bm.tobytes(), self._bloom_m
-            )
-            # pin once: the canonicalize UDF + probe run exactly one pass;
-            # the sure-new / maybe branches below are then free filters
-            kept = self._pin(
-                kept.withColumn(
+            if self._bloom_shards is not None:
+                # sharded layout: cogroup probe, no bitmap broadcast
+                flagged = BL.probe_sharded(
+                    kept, self._bloom_shards, "canonical", self._bloom_m
+                )
+            else:
+                probe = BL.maybe_seen_col(
+                    self.spark, self._bloom_bm.tobytes(), self._bloom_m
+                )
+                flagged = kept.withColumn(
                     "_maybe",
                     probe(
                         F.xxhash64("canonical"),
                         F.xxhash64("canonical", F.lit(1)),
                     ),
                 )
-            )
+            # pin once: the canonicalize UDF + probe run exactly one pass;
+            # the sure-new / maybe branches below are then free filters
+            kept = self._pin(flagged)
             sure_new = kept.filter(~F.col("_maybe")).drop("_maybe")
             maybe = kept.filter(F.col("_maybe")).drop("_maybe")
+            n_bloom_checked = maybe.count()
             checked = maybe.join(self.seen.select("canonical"), "canonical", "left_anti")
             cand = sure_new.unionByName(checked)
         else:
@@ -456,6 +572,7 @@ class CrawlEngine:
         new_seen = new_frontier.select("canonical", "seq", "round_added")
         self._seen_parts.append(new_seen)
         self.seen = self.seen.unionByName(new_seen)  # lazy over pinned parts
+        self.seen_count += n_new
         if self.use_bloom and n_new:
             self._bloom_add(new_seen, "canonical", n_new)
         mark("state_update")
@@ -474,6 +591,9 @@ class CrawlEngine:
                 wall_ms=(time.time() - t0) * 1000,
                 partition_fetch_counts=part_counts,
                 phase_ms=_ph,
+                # F17: the reference's "%Y-%m-%d %H:%M:%S" log stamp
+                ts=time.strftime("%Y-%m-%d %H:%M:%S"),
+                bloom_checked=n_bloom_checked,
             )
         )
         self.round_num += 1
@@ -504,9 +624,16 @@ class CrawlEngine:
             return
         d = self.checkpoint_dir / f"r{self.round_num}"
         self.frontier.write.mode("overwrite").parquet(str(d / "frontier"))
-        self._seen_parts[-1].write.mode("overwrite").parquet(
-            str(d / "seen_inc")
-        )
+        if self._seen_compacted:
+            # an add_seed removed rows: older increments are stale, so this
+            # snapshot carries the FULL seen-set and becomes the new base
+            self.seen.write.mode("overwrite").parquet(str(d / "seen_inc"))
+            self._seen_base_round = self.round_num
+            self._seen_compacted = False
+        else:
+            self._seen_parts[-1].write.mode("overwrite").parquet(
+                str(d / "seen_inc")
+            )
         items_inc = self._item_parts[-1]
         items_inc.write.mode("overwrite").parquet(str(d / "items_inc"))
         state = {
@@ -514,6 +641,8 @@ class CrawlEngine:
             "next_seq": self.next_seq,
             "pages_crawled": self.pages_crawled,
             "items_count": self.items_count,
+            "seen_count": self.seen_count,
+            "seen_base_round": self._seen_base_round,
             "stopped": self.stopped,
             "metrics": [
                 {k: v for k, v in m.__dict__.items()} for m in self.metrics
@@ -550,9 +679,12 @@ class CrawlEngine:
         eng = cls(spark, pages, checkpoint_dir=checkpoint_dir, **kw)
         state = json.loads((d / "state.json").read_text())
         eng.frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(str(d / "frontier"))
-        # seen/items = union of the per-round increments (Iceberg-append shape)
+        # seen/items = union of the per-round increments (Iceberg-append
+        # shape); increments before seen_base_round were compacted into that
+        # round's snapshot by an add_seed removal
+        seen_base = state.get("seen_base_round", 0)
         eng.seen = spark.read.schema(SEEN_SCHEMA).parquet(
-            *[str(root / f"r{r}" / "seen_inc") for r in range(last + 1)]
+            *[str(root / f"r{r}" / "seen_inc") for r in range(seen_base, last + 1)]
         )
         eng.items = spark.read.schema(ITEMS_SCHEMA).parquet(
             *[str(root / f"r{r}" / "items_inc") for r in range(last + 1)]
@@ -564,6 +696,10 @@ class CrawlEngine:
         eng.next_seq = state["next_seq"]
         eng.pages_crawled = state["pages_crawled"]
         eng.items_count = state["items_count"]
+        eng.seen_count = state.get("seen_count", -1)
+        if eng.seen_count < 0:
+            eng.seen_count = eng.seen.count()
+        eng._seen_base_round = seen_base
         eng.stopped = state["stopped"]
         eng.metrics = [RoundMetrics(**m) for m in state["metrics"]]
         return eng
@@ -579,7 +715,8 @@ class CrawlEngine:
             (
                 m.round, int(pid), int(cnt), m.urls_dequeued, m.urls_fetched,
                 m.fetch_misses, m.books_found, m.links_extracted, m.links_new,
-                m.links_dup, m.links_ignored, float(m.wall_ms),
+                m.links_dup, m.links_ignored, float(m.wall_ms), m.ts,
+                m.bloom_checked,
             )
             for m in self.metrics
             for pid, cnt in (m.partition_fetch_counts or {0: 0}).items()
@@ -589,5 +726,19 @@ class CrawlEngine:
             "round int, partition_id int, partition_urls_fetched long, "
             "urls_dequeued long, urls_fetched long, fetch_misses long, "
             "books_found long, links_extracted long, links_new long, "
-            "links_dup long, links_ignored long, wall_ms double",
+            "links_dup long, links_ignored long, wall_ms double, ts string, "
+            "bloom_checked long",
+        )
+
+    def status_df(self) -> DataFrame:
+        """S6 — the reference's ``GET /api/status`` shape (server.cpp:
+        1300-1313): one row of live crawl state. All values are O(1)
+        driver-held counters — no job runs."""
+        return self.spark.createDataFrame(
+            [(
+                self.frontier_size, self.seen_count, self.items_count,
+                self.pages_crawled, self.round_num, bool(self.stopped),
+            )],
+            "queue_size long, processed long, books_found long, "
+            "pages_crawled long, current_round int, stopped boolean",
         )

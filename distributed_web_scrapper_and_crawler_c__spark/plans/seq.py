@@ -99,3 +99,78 @@ def with_global_seq(
             yield pd.DataFrame(out, columns=cols)
 
     return parted.mapInPandas(stamp, schema)
+
+
+def with_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "_before",
+    num_partitions: int | None = None,
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """``out_col`` = exclusive running sum of ``value_col`` in ``order_cols``
+    order (sum over all strictly-earlier rows; 0 for the first row).
+
+    Same two-phase shape as :func:`with_global_seq` — range-partition on the
+    order key, per-partition totals collected to the driver, offsets
+    broadcast, exclusive cumsum stamped per partition — so there is never a
+    single-partition global window. ``order_cols`` must be a unique key.
+    ``approx_rows`` is the same physical-plan-only hint: small inputs take a
+    one-shuffle window plan (the size-gated fallback), large inputs the
+    scalable path; the computed values are identical either way.
+    """
+    import pandas as pd
+
+    if approx_rows is not None and approx_rows < SMALL_SEQ_ROWS:
+        from pyspark.sql import Window
+
+        # small-input fallback (size-gated): single-partition window is
+        # cheaper than the sampling pass below under SMALL_SEQ_ROWS rows
+        w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return df.withColumn(
+            out_col,
+            F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long"),
+        )
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in parted.groupBy("_pid")
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("s"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    schema = parted.drop("_pid").schema.add(out_col, "long")
+    cols = [f.name for f in schema.fields]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def stamp(batches):
+        carried = 0
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            vals = pdf[value_col].to_numpy()
+            out = pdf.drop(columns=["_pid"])
+            out[out_col] = bc.value[pid] + carried + vals.cumsum() - vals
+            carried += int(vals.sum())
+            yield pd.DataFrame(out, columns=cols)
+
+    return parted.mapInPandas(stamp, schema)

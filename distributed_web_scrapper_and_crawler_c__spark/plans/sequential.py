@@ -45,15 +45,21 @@ BOOKS_OUT_SCHEMA = (
 
 
 def next_edges(pages: DataFrame) -> DataFrame:
-    """Distributed precompute of the next-link graph over listing-shaped
-    pages: (url, next_url). next_url is F6-resolved; '' → no next."""
-    listing = pages.filter(X.is_category_page_expr(F.col("url")))
-    return listing.select(
+    """Distributed precompute of the next-link graph over ALL pages (the
+    reference's ``crawl_website`` calls find_next_link on every fetched
+    page, Crawler.cpp:99-103 — not only listing-shaped ones): returns
+    (url, next_url) for pages that HAVE a next link. next_url is
+    F6-resolved. Pages without a ``<li class="next">`` emit no edge, which
+    both ends the driver walk (chain break) and bounds the collect to the
+    chain-bearing subset — on book-site shapes that is the listing pages,
+    a tiny fraction of the store."""
+    edges = pages.select(
         "url",
         U.normalize_udf(
             U.find_next_link_udf(F.col("html")), F.col("url")
         ).alias("next_url"),
     )
+    return edges.filter(F.col("next_url") != "")
 
 
 def sequential_crawl(

@@ -239,13 +239,30 @@ class Page(NamedTuple):
     lang: str
 
 
+def _page_ts(spec: SiteSpec, kind: str, ident: int):
+    """warc_ts is a pure function of page IDENTITY (kind, ident) — never of
+    row position — so it is unique and identical no matter how generation is
+    sliced. Details live at offset [0, n_books); hub pages in a dedicated
+    space at 20M + global hub id (root=0, listing n=n, category c after the
+    listings)."""
+    if kind == "detail":
+        off = ident
+    elif kind == "root":
+        off = 20_000_000
+    elif kind == "listing":
+        off = 20_000_000 + ident
+    else:  # category
+        off = 20_000_000 + spec.n_listing_pages + 1 + ident
+    return EPOCH + timedelta(seconds=off)
+
+
 def iter_pages(spec: SiteSpec) -> Iterator[Page]:
-    """All pages of the site in a stable order (row_id drives warc_ts)."""
-    row = 0
+    """All pages of the site in a stable order (identity drives warc_ts)."""
     for kind, ident, url, html in _iter_raw(spec, 0, spec.n_books):
         lang = _LANGS[(ident + (0 if kind == "detail" else 7)) % len(_LANGS)]
-        yield Page(url, EPOCH + timedelta(seconds=row), html, extracted_text(url, html), lang)
-        row += 1
+        yield Page(
+            url, _page_ts(spec, kind, ident), html, extracted_text(url, html), lang
+        )
 
 
 def _iter_raw(spec: SiteSpec, lo: int, hi: int, slice_idx: int = 0,
@@ -302,16 +319,14 @@ def pages_dataframe(spark, spec: SiteSpec, slices: int = 32):
         for pdf in batches:
             for idx, lo, hi in zip(pdf["idx"], pdf["lo"], pdf["hi"]):
                 rows = []
-                base_row = 10_000_000 if lo > 0 else 0
-                r = 0
                 for kind, ident, url, html in _iter_raw(
                     spec, int(lo), int(hi), int(idx), slices
                 ):
                     lang = _LANGS[(ident + (0 if kind == "detail" else 7)) % len(_LANGS)]
-                    # warc_ts keyed on a stable per-page offset, not global row
-                    ts = EPOCH + timedelta(seconds=base_row + int(lo) + r)
+                    # identity-keyed warc_ts: unique across pages and
+                    # invariant under slicing (see _page_ts)
+                    ts = _page_ts(spec, kind, int(ident))
                     rows.append((url, ts, html, extracted_text(url, html), lang))
-                    r += 1
                 if rows:
                     yield pd.DataFrame(
                         rows, columns=["url", "warc_ts", "html", "text", "lang"]
