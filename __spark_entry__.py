@@ -151,6 +151,132 @@ ITEMS_LIKE_SQL = (
     " FROM part"
 )
 
+# D3/D4 content-dedup fixture: coarse value grids manufacture duplicate
+# (title, price, rating[, type]) groups; first-wins keeps min id
+# (server.cpp:523-581 sequential insert order).
+ITEMS_CONTENT_SQL = (
+    "SELECT p_partkey AS id,"
+    " concat('T', CAST(CAST(p_partkey % 50 AS INT) AS STRING)) AS title,"
+    " round(CAST(p_partkey % 25 AS INT) * 1.0 + 0.99, 2) AS price_value,"
+    " CAST(p_partkey % 7 AS INT) AS rating_value,"
+    " CASE WHEN p_partkey % 2 = 0 THEN 'BOOK' ELSE 'PRODUCT' END AS item_type"
+    " FROM part"
+)
+
+# --------------------------------------------------------------------------
+# synthesized HTML (Spark-side only — the oracles below derive the expected
+# kernel outputs from the SAME part columns, i.e. from the generative ground
+# truth, never by re-parsing)
+# --------------------------------------------------------------------------
+
+PK = "CAST(p_partkey AS STRING)"
+PAGE_URL_EXPR = (
+    f"concat('http://books.toscrape.com/catalogue/page-', {PK}, '.html')"
+)
+# shared text (Spark builds HTML with it; DuckDB rebuilds the expected string)
+PRICE0_EXPR = (
+    "concat('£', CAST(CAST(p_partkey % 90 + 10 AS INT) AS STRING), '.',"
+    " lpad(CAST(CAST(p_partkey % 100 AS INT) AS STRING), 2, '0'))"
+)
+PRICE1_EXPR = (
+    "CASE WHEN p_partkey % 6 = 0 THEN 'Free'"
+    " ELSE concat('$', CAST(CAST(p_partkey % 40 + 5 AS INT) AS STRING), ',',"
+    " lpad(CAST(CAST(p_partkey % 100 AS INT) AS STRING), 2, '0')) END"
+)
+RATING0_WORD = (
+    "CASE CAST(p_partkey % 6 AS INT) WHEN 0 THEN 'One' WHEN 1 THEN 'Two'"
+    " WHEN 2 THEN 'Three' WHEN 3 THEN 'Four' WHEN 4 THEN 'Five'"
+    " ELSE 'Silly' END"
+)
+
+# F3 — listing page with two product pods: pod a<pk> always kept (title-attr
+# path unless pk%4=1, which exercises the '">…</a>' fallback); pod b<pk> has
+# no href when pk%3=0 → empty url → dropped (HtmlParser.cpp:73 gate)
+BOOKS_HTML_EXPR = (
+    "concat('<html><body>',"
+    f"'<article class=\"product_pod\"><h3><a href=\"a', {PK}, '.html\"',"
+    f" CASE WHEN p_partkey % 4 = 1 THEN ''"
+    f"      ELSE concat(' title=\"T', {PK}, ' ', p_name, '\"') END,"
+    f" '>FB', {PK}, '</a></h3><p class=\"price_color\">', {PRICE0_EXPR},"
+    f" '</p><p class=\"star-rating ', {RATING0_WORD}, '\"></p></article>',"
+    "'<article class=\"product_pod\"><h3><a ',"
+    f" CASE WHEN p_partkey % 3 = 0 THEN ''"
+    f"      ELSE concat('href=\"b', {PK}, '\" ') END,"
+    f" 'title=\"U', {PK}, '\">x</a></h3><p class=\"price_color\">',"
+    f" {PRICE1_EXPR}, '</p><p class=\"star-rating Two\"></p></article>',"
+    "'</body></html>')"
+)
+
+# F4 — detail page exercising the classStart=pos+18 quirk (HtmlParser.cpp:
+# 304): pk%5=1 has an empty class ('ing' slice → 'Unknown'); pk%5=4 has no
+# closing quote (→ rating ''); pk%7=0 drops <h1>; pk%11=0 drops the price
+DETAIL_HTML_EXPR = (
+    "concat("
+    f"CASE WHEN p_partkey % 7 = 0 THEN ''"
+    f"     ELSE concat('<h1>H', {PK}, ' ', p_name, '</h1>') END,"
+    f"CASE WHEN p_partkey % 11 = 0 THEN ''"
+    f"     ELSE concat('<p class=\"price_color\">', {PRICE0_EXPR}, '</p>') END,"
+    "CASE CAST(p_partkey % 5 AS INT)"
+    " WHEN 0 THEN '<p class=\"star-rating Three\"></p>'"
+    " WHEN 1 THEN '<p class=\"star-rating\"></p>'"
+    " WHEN 2 THEN ''"
+    " WHEN 3 THEN '<p class=\"star-rating Five\"></p>'"
+    " ELSE '<p class=\"star-rating Two' END)"
+)
+
+# F5 — next-link li present / present-without-anchor / absent
+NEXT_HTML_EXPR = (
+    "concat('<ul><li class=\"a\">x</li>',"
+    "CASE CAST(p_partkey % 3 AS INT)"
+    f" WHEN 0 THEN concat('<li class=\"next\"><a href=\"page-', {PK},"
+    f" '.html\">next</a></li>')"
+    " WHEN 1 THEN '<li class=\"next\">noanchor</li>'"
+    " ELSE '' END, '</ul>')"
+)
+
+# F6 — (link, base) shape matrix: absolute http/https, empty,
+# scheme-relative, root-relative, path-relative long base, schemeless base
+NORM_LINK_EXPR = (
+    "CASE CAST(p_partkey % 7 AS INT)"
+    " WHEN 0 THEN 'http://x.com/a'"
+    " WHEN 1 THEN 'https://y.com/b'"
+    " WHEN 2 THEN ''"
+    " WHEN 3 THEN '//cdn.example/z'"
+    f" WHEN 4 THEN concat('/abs/p', {PK})"
+    f" WHEN 5 THEN concat('rel', {PK}, '.html')"
+    " ELSE 'c.html' END"
+)
+NORM_BASE_EXPR = (
+    "CASE CAST(p_partkey % 7 AS INT)"
+    " WHEN 3 THEN 'http://books.toscrape.com'"
+    " WHEN 5 THEN 'http://books.toscrape.com/catalogue/page-2.html'"
+    " WHEN 6 THEN 'books.toscrape.com'"
+    " ELSE 'http://books.toscrape.com/catalogue/page-1.html' END"
+)
+
+# F8 — href mix: kept relative, static (.png), off-domain, duplicate,
+# malformed domain-concat, and (even pk) an absolute same-domain link
+LINKS_HTML_EXPR = (
+    "concat("
+    f"'<a href=\"a', {PK}, '.html\">x</a>',"
+    "'<img href=\"x.png\">',"
+    "'<a href=\"http://example.com/off\">o</a>',"
+    f"'<a href=\"a', {PK}, '.html\">dup</a>',"
+    "'<a href=\"http://books.toscrape.comhttp://books.toscrape.com/m\">bad</a>',"
+    f"CASE WHEN p_partkey % 2 = 0 THEN"
+    f" concat('<a href=\"http://books.toscrape.com/extra', {PK}, '\">e</a>')"
+    f" ELSE '' END)"
+)
+
+# F1 — extract_between marker matrix
+BETWEEN_TEXT_EXPR = (
+    "CASE CAST(p_partkey % 4 AS INT)"
+    f" WHEN 0 THEN concat('<title>Name', {PK}, '</title>')"
+    " WHEN 1 THEN '<title>unterminated'"
+    " WHEN 2 THEN 'no markers here'"
+    " ELSE '<title>A</title><title>B</title>' END"
+)
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -226,6 +352,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_repair"] = url_repair
 
+    # ---- HTML parse kernels over synthesized pages (F1/F3/F4/F5/F6/F8) ----
+
+    def parse_extract_between(spark, sf):
+        t = _t(spark, sf, "part").selectExpr(
+            "p_partkey", f"{BETWEEN_TEXT_EXPR} AS text"
+        )
+        return t.select(
+            "p_partkey", "text",
+            U.extract_between_udf(
+                F.col("text"), F.lit("<title>"), F.lit("</title>")
+            ).alias("between"),
+        )
+
+    q["parse_extract_between"] = parse_extract_between
+
+    def parse_books(spark, sf):
+        p = _t(spark, sf, "part").selectExpr(
+            "p_partkey", f"{BOOKS_HTML_EXPR} AS html",
+            f"{PAGE_URL_EXPR} AS page_url",
+        )
+        return p.select(
+            "p_partkey",
+            F.posexplode(
+                U.parse_books_udf(F.encode("html", "utf-8"), F.col("page_url"))
+            ).alias("book_rank", "_bk"),
+        ).select("p_partkey", "book_rank", "_bk.*")
+
+    q["parse_books"] = parse_books
+
+    def parse_book_page(spark, sf):
+        p = _t(spark, sf, "part").selectExpr(
+            "p_partkey", f"{DETAIL_HTML_EXPR} AS html",
+            f"{PAGE_URL_EXPR} AS page_url",
+        )
+        return p.select(
+            "p_partkey",
+            U.parse_book_page_udf(
+                F.encode("html", "utf-8"), F.col("page_url")
+            ).alias("_bk"),
+        ).select("p_partkey", "_bk.*")
+
+    q["parse_book_page"] = parse_book_page
+
+    def parse_find_next_link(spark, sf):
+        p = _t(spark, sf, "part").selectExpr(
+            "p_partkey", f"{NEXT_HTML_EXPR} AS html"
+        )
+        return p.select(
+            "p_partkey",
+            U.find_next_link_udf(F.encode("html", "utf-8")).alias("next_href"),
+        )
+
+    q["parse_find_next_link"] = parse_find_next_link
+
+    def url_normalize(spark, sf):
+        p = _t(spark, sf, "part").selectExpr(
+            "p_partkey", f"{NORM_LINK_EXPR} AS link", f"{NORM_BASE_EXPR} AS base"
+        )
+        return p.select(
+            "p_partkey", "link", "base",
+            U.normalize_udf(F.col("link"), F.col("base")).alias("normalized"),
+        )
+
+    q["url_normalize"] = url_normalize
+
+    def parse_extract_links(spark, sf):
+        p = _t(spark, sf, "part").selectExpr(
+            "p_partkey", f"{LINKS_HTML_EXPR} AS html",
+            f"{PAGE_URL_EXPR} AS page_url",
+        )
+        return p.select(
+            "p_partkey",
+            F.posexplode(
+                U.extract_links_udf(F.encode("html", "utf-8"), F.col("page_url"))
+            ).alias("pos", "link"),
+        )
+
+    q["parse_extract_links"] = parse_extract_links
+
+    # ---- content dedup on items (D3/D4, server.cpp:523-581) ----
+
+    def dedup_content_book(spark, sf):
+        _t(spark, sf, "part").createOrReplaceTempView("part")
+        items = spark.sql(ITEMS_CONTENT_SQL)
+        return DD.content_dedup(
+            items, ["title", "price_value", "rating_value"], "id"
+        ).select("id", "title", "price_value", "rating_value")
+
+    q["dedup_content_book"] = dedup_content_book
+
+    def dedup_content_item(spark, sf):
+        _t(spark, sf, "part").createOrReplaceTempView("part")
+        items = spark.sql(ITEMS_CONTENT_SQL)
+        return DD.content_dedup(
+            items, ["item_type", "title", "price_value", "rating_value"], "id"
+        ).select("id", "item_type", "title", "price_value", "rating_value")
+
+    q["dedup_content_item"] = dedup_content_item
+
     # ---- aggregations (A1-A6) ----
 
     def item_stats(spark, sf):
@@ -240,6 +465,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return AGG.crawl_rate(_t(spark, sf, "events"))
 
     q["crawl_rate"] = crawl_rate
+
+    def worker_totals(spark, sf):
+        # A1-A3 (server.cpp:130-179): lifetime totals, last-window
+        # increments, heartbeat-style active flag per worker key
+        return AGG.worker_totals(_t(spark, sf, "events"),
+                                 active_window_s=86400)
+
+    q["worker_totals"] = worker_totals
 
     def q1_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -390,9 +623,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_signatures"] = dedup_minhash_signatures
 
     def dedup_ngram_jaccard(spark, sf):
+        # ungated exact form — kept oracle-checkable; production scale path
+        # is near_dup_pipeline below (LSH-gated)
         return DD.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.1)
 
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def near_dup_pipeline(spark, sf):
+        return DD.near_dup_pipeline(_t(spark, sf, "documents"), threshold=0.1)
+
+    q["near_dup_pipeline"] = near_dup_pipeline
 
     def dedup_simhash(spark, sf):  # rows-only (pandas-UDF kernel)
         # max_hamming=3 — the largest distance the 4×16-bit band blocking
@@ -512,13 +752,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_sequential"] = crawl_sequential
 
-    # ---- multimodal plumbing (rows-only; stubbed decode) ----
+    # ---- multimodal plumbing (stub decode; oracle-checked rollup) ----
 
     def multimodal_features(spark, sf):
-        media = MM.synthetic_media(spark, n=64)
+        # real mapInPandas path over a deterministic part-derived media
+        # table, so the per-kind rollup has a DuckDB oracle
+        media = MM.media_from_part(spark, _t(spark, sf, "part"))
         return MM.media_summary(MM.extract_features(media))
 
     q["multimodal_features"] = multimodal_features
+
+    def multimodal_synthetic(spark, sf):  # rows-only: random-payload table
+        media = MM.synthetic_media(spark, n=64)
+        return MM.media_summary(MM.extract_features(media))
+
+    q["multimodal_synthetic"] = multimodal_synthetic
+
+    # ---- S6 status view + A1-A3 over real crawl metrics (rows-only) ----
+
+    def status_snapshot(spark, sf):
+        from distributed_web_scrapper_and_crawler_c__spark.plans.frontier import (
+            CrawlEngine,
+        )
+        from distributed_web_scrapper_and_crawler_c__spark.sources import sitegen
+
+        spec = sitegen.SiteSpec(n_books=12, n_categories=2, books_per_page=6)
+        pages = sitegen.pages_dataframe(spark, spec, slices=2)
+        eng = CrawlEngine(spark, pages).run("/catalogue/page-1.html")
+        return eng.status_df()
+
+    q["status_snapshot"] = status_snapshot
+
+    def crawl_worker_totals(spark, sf):
+        from distributed_web_scrapper_and_crawler_c__spark.plans.frontier import (
+            CrawlEngine,
+        )
+        from distributed_web_scrapper_and_crawler_c__spark.sources import sitegen
+
+        spec = sitegen.SiteSpec(n_books=12, n_categories=2, books_per_page=6)
+        pages = sitegen.pages_dataframe(spark, spec, slices=2)
+        eng = CrawlEngine(spark, pages).run("/catalogue/page-1.html")
+        # A1/A3 over the engine's own lineage metrics: per-partition-worker
+        # lifetime fetch totals and per-round increments
+        m = eng.metrics_df()
+        return (
+            m.groupBy("partition_id")
+            .agg(
+                F.sum("partition_urls_fetched").alias("total_fetched"),
+                F.count("*").alias("rounds_active"),
+                F.max("round").alias("last_round"),
+            )
+            .orderBy("partition_id")
+        )
+
+    q["crawl_worker_totals"] = crawl_worker_totals
 
     return q
 
@@ -599,12 +886,96 @@ SELECT p_partkey, price_str, rating_word,
             ELSE 'Unknown' END AS rating_parsed
 FROM p"""
 
+    # ---- parse kernels: expected values derived from the generative ground
+    # truth (the same part columns the HTML was synthesized from) ----
+
+    o["parse_extract_between"] = f"""
+SELECT p_partkey, {BETWEEN_TEXT_EXPR} AS text,
+       CASE CAST(p_partkey % 4 AS INT)
+            WHEN 0 THEN concat('Name', {PK})
+            WHEN 1 THEN ''
+            WHEN 2 THEN ''
+            ELSE 'A' END AS between
+FROM part"""
+
+    o["parse_books"] = f"""
+SELECT p_partkey, 0 AS book_rank,
+       CASE WHEN p_partkey % 4 = 1 THEN concat('FB', {PK})
+            ELSE concat('T', {PK}, ' ', p_name) END AS title,
+       {PRICE0_EXPR} AS price,
+       CASE WHEN p_partkey % 6 = 5 THEN 'Unknown' ELSE {RATING0_WORD} END AS rating,
+       concat('http://books.toscrape.com/catalogue/a', {PK}, '.html') AS url
+FROM part
+UNION ALL
+SELECT p_partkey, 1 AS book_rank,
+       concat('U', {PK}) AS title,
+       {PRICE1_EXPR} AS price,
+       'Two' AS rating,
+       concat('http://books.toscrape.com/catalogue/b', {PK}) AS url
+FROM part WHERE p_partkey % 3 <> 0"""
+
+    o["parse_book_page"] = f"""
+SELECT p_partkey,
+       CASE WHEN p_partkey % 7 = 0 THEN ''
+            ELSE concat('H', {PK}, ' ', p_name) END AS title,
+       CASE WHEN p_partkey % 11 = 0 THEN '' ELSE {PRICE0_EXPR} END AS price,
+       CASE CAST(p_partkey % 5 AS INT)
+            WHEN 0 THEN 'Three'
+            WHEN 1 THEN 'Unknown'
+            WHEN 2 THEN ''
+            WHEN 3 THEN 'Five'
+            ELSE '' END AS rating
+FROM part"""
+
+    o["parse_find_next_link"] = f"""
+SELECT p_partkey,
+       CASE WHEN p_partkey % 3 = 0 THEN concat('page-', {PK}, '.html')
+            ELSE '' END AS next_href
+FROM part"""
+
+    o["url_normalize"] = f"""
+SELECT p_partkey, {NORM_LINK_EXPR} AS link, {NORM_BASE_EXPR} AS base,
+       CASE CAST(p_partkey % 7 AS INT)
+            WHEN 0 THEN 'http://x.com/a'
+            WHEN 1 THEN 'https://y.com/b'
+            WHEN 2 THEN ''
+            WHEN 3 THEN 'http://cdn.example/z'
+            WHEN 4 THEN concat('http://books.toscrape.com/abs/p', {PK})
+            WHEN 5 THEN concat(
+                'http://books.toscrape.com/catalogue/rel', {PK}, '.html')
+            ELSE 'http://books.toscrape.com/c.html' END AS normalized
+FROM part"""
+
+    o["parse_extract_links"] = f"""
+SELECT p_partkey, 0 AS pos,
+       concat('http://books.toscrape.com/catalogue/a', {PK}, '.html') AS link
+FROM part
+UNION ALL
+SELECT p_partkey, 1 AS pos,
+       concat('http://books.toscrape.com/extra', {PK}) AS link
+FROM part WHERE p_partkey % 2 = 0"""
+
+    # ---- D3/D4 content dedup ----
+
+    o["dedup_content_book"] = DD.content_dedup_sql(
+        ITEMS_CONTENT_SQL, ["title", "price_value", "rating_value"], "id",
+        ["id", "title", "price_value", "rating_value"],
+    )
+    o["dedup_content_item"] = DD.content_dedup_sql(
+        ITEMS_CONTENT_SQL,
+        ["item_type", "title", "price_value", "rating_value"], "id",
+        ["id", "item_type", "title", "price_value", "rating_value"],
+    )
+
     o["item_stats"] = AGG.item_stats_sql(
         f"({ITEMS_LIKE_SQL})", "item_type", "price_value", "rating_value",
         "category",
     )
 
     o["crawl_rate"] = AGG.crawl_rate_sql("events", "user_id", "ts")
+    o["worker_totals"] = AGG.worker_totals_sql(
+        "events", "user_id", "ts", active_window_s=86400
+    )
 
     o["q1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
@@ -689,6 +1060,7 @@ FROM documents GROUP BY md5(text)
     o["dedup_minhash_lsh"] = DD.LSH_PAIRS_SQL
     o["dedup_minhash_signatures"] = DD.MINHASH_SQL
     o["dedup_ngram_jaccard"] = DD.ngram_jaccard_sql(0.1)
+    o["near_dup_pipeline"] = DD.near_dup_pipeline_sql(0.1)
 
     o["ann_cosine_topk"] = SIM.brute_force_topk_sql(n_queries=5, k=10)
 
@@ -703,7 +1075,10 @@ FROM embeddings GROUP BY label
     o["text_quality"] = TS.QUALITY_SQL
     o["text_langid"] = TS.LANGID_SQL
 
+    o["multimodal_features"] = MM.MEDIA_SUMMARY_SQL
+
     # rows-only (no oracle): dedup_simhash, ann_lsh_topk, doc_fingerprints,
-    # multimodal_features, crawl_sequential — non-SQL-expressible kernels /
-    # iterative strategies; covered by pytest golden tests.
+    # multimodal_synthetic (random payload), crawl_summary, crawl_sequential,
+    # status_snapshot, crawl_worker_totals — non-SQL-expressible kernels /
+    # iterative strategies / live-crawl state; covered by pytest golden tests.
     return o

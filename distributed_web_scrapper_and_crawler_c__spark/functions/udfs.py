@@ -103,6 +103,27 @@ def find_next_link_udf(html: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
+def extract_between_udf(
+    text: pd.Series, start: pd.Series, end: pd.Series
+) -> pd.Series:
+    """F1 — extract_between (HtmlParser.cpp:6-19): text after the first
+    ``start`` up to the next ``end``; '' if either marker is missing.
+    Byte-exact: operates on UTF-8 bytes like the C++ std::string::find."""
+    return pd.Series(
+        [
+            _san(
+                K.extract_between(
+                    t.encode("utf-8"), s.encode("utf-8"), e.encode("utf-8")
+                ).decode("utf-8", "surrogateescape")
+            )
+            if t is not None
+            else None
+            for t, s, e in zip(text, start, end)
+        ]
+    )
+
+
+@F.pandas_udf(StringType())
 def canonicalize_udf(url: pd.Series) -> pd.Series:
     """F7 — normative canonicalization (expression form in expressions.py is
     the optimized equivalent, asserted equal in tests)."""

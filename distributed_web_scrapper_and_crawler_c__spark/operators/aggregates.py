@@ -78,6 +78,70 @@ FROM {table}
 """
 
 
+def worker_totals(events: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", active_window_s: int = 3600) -> DataFrame:
+    """A1-A3 semantics (server.cpp:130-179) over an event log: per worker
+    (key) the lifetime total (A1 totalPagesProcessed), the last-window
+    increment (A3 per-round delta), and the active flag (A2 — last event
+    within ``active_window_s`` of the global latest event, the reference's
+    heartbeat-timeout check). The global horizon is a broadcast one-row
+    aggregate, not a global window."""
+    k = F.col(key_col)
+    horizon = events.agg(F.max(ts_col).alias("_maxts"))
+    per = events.groupBy(k.alias("worker")).agg(
+        F.count("*").alias("total_processed"),
+        F.max(ts_col).alias("last_ts"),
+        F.min(ts_col).alias("first_ts"),
+    )
+    recent = (
+        events.crossJoin(F.broadcast(horizon))
+        .filter(
+            F.unix_timestamp(ts_col)
+            >= F.unix_timestamp("_maxts") - F.lit(active_window_s)
+        )
+        .groupBy(k.alias("worker"))
+        .agg(F.count("*").alias("last_window_increment"))
+    )
+    return (
+        per.join(recent, "worker", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "worker", "total_processed", "first_ts", "last_ts",
+            F.coalesce("last_window_increment", F.lit(0)).alias(
+                "last_window_increment"
+            ),
+            (
+                F.unix_timestamp("last_ts")
+                >= F.unix_timestamp("_maxts") - F.lit(active_window_s)
+            ).alias("is_active"),
+        )
+        .orderBy("worker")
+    )
+
+
+def worker_totals_sql(table: str = "events", key: str = "user_id",
+                      ts: str = "ts", active_window_s: int = 3600) -> str:
+    return f"""
+WITH horizon AS (SELECT max({ts}) AS maxts FROM {table}),
+per AS (
+    SELECT {key} AS worker, count(*) AS total_processed,
+           min({ts}) AS first_ts, max({ts}) AS last_ts
+    FROM {table} GROUP BY {key}
+),
+recent AS (
+    SELECT {key} AS worker, count(*) AS last_window_increment
+    FROM {table}, horizon
+    WHERE epoch({ts}) >= epoch(maxts) - {active_window_s}
+    GROUP BY {key}
+)
+SELECT per.worker, total_processed, first_ts, last_ts,
+       coalesce(last_window_increment, 0) AS last_window_increment,
+       (epoch(last_ts) >= epoch(maxts) - {active_window_s}) AS is_active
+FROM per LEFT JOIN recent ON per.worker = recent.worker, horizon
+ORDER BY per.worker
+"""
+
+
 def crawl_rate(events: DataFrame, key_col: str = "user_id",
                ts_col: str = "ts") -> DataFrame:
     """A5 analog: per-key events/minute over the key's active span

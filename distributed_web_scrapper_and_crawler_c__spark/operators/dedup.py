@@ -218,6 +218,92 @@ WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= {threshold}
 
 
 # ---------------------------------------------------------------------------
+# D3/D4 — content dedup, first-wins (server.cpp:523-581 addBook/addItem)
+# ---------------------------------------------------------------------------
+
+
+def content_dedup(
+    items: DataFrame, keys: list[str], order_col: str
+) -> DataFrame:
+    """The reference's addBook/addItem content dedup: a record is kept only
+    if no earlier record matches on ``keys`` (addBook: title,price,rating —
+    server.cpp:523-551; addItem adds the item type — server.cpp:554-581).
+    'Earlier' is ``order_col`` (the reference's sequential insert order; the
+    engine's item_seq). One shuffle on the content key; the window runs
+    per-key, never globally."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        items.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def content_dedup_sql(inner: str, keys: list[str], order_col: str,
+                      out_cols: list[str]) -> str:
+    ks = ", ".join(keys)
+    cols = ", ".join(out_cols)
+    return f"""
+SELECT {cols} FROM (
+    SELECT *, row_number() OVER (PARTITION BY {ks} ORDER BY {order_col}) AS _rn
+    FROM ({inner})
+) WHERE _rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-gated exact Jaccard — the production near-dup pipeline
+# ---------------------------------------------------------------------------
+
+
+def near_dup_pipeline(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY on LSH candidate pairs — the
+    scale-safe composition (the ungated shared-shingle self-join in
+    :func:`ngram_jaccard_pairs` is quadratic in shingle frequency; this
+    pipeline bounds the exact computation by the LSH bucket collisions).
+
+    Returns (doc_a, doc_b, jaccard) for candidate pairs with
+    jaccard ≥ threshold. Shingles are computed once and reused by both
+    the signature build and the exact intersection."""
+    sh = shingles(docs).distinct().cache()
+    cands = lsh_candidate_pairs(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # intersection sizes restricted to candidate pairs: join the candidate
+    # edge list to each side's shingle set — |A∩B| accumulates only over
+    # candidate docs' shingles, never an open self-join
+    inter = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "szb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dup_pipeline_sql(threshold: float = 0.5) -> str:
+    """Oracle: the ungated exact Jaccard INTERSECTED with the LSH candidate
+    set — independent derivation of the same pairs."""
+    return f"""
+WITH exact AS ({ngram_jaccard_sql(threshold)}),
+cands AS ({LSH_PAIRS_SQL})
+SELECT e.doc_a, e.doc_b, e.jaccard
+FROM exact e JOIN cands c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash (vectorized pandas UDF — no SQL oracle; rows-only check)
 # ---------------------------------------------------------------------------
 

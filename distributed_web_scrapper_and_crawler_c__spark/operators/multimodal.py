@@ -72,36 +72,90 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                if decoder == "real":
-                    raise NotImplementedError(
-                        "real media decoding needs PIL/ffmpeg — not present "
-                        "in this environment; use decoder='fake'"
-                    )
-                feat = _fake_decode(payload, dim)
-                frames = (
-                    max(1, int(row["duration_ms"]) // frame_stride_ms)
-                    if row["kind"] == "video"
-                    else 1
+            if decoder == "real" and len(pdf):
+                raise NotImplementedError(
+                    "real media decoding needs PIL/ffmpeg — not present "
+                    "in this environment; use decoder='fake'"
                 )
+            # decode is per-item by nature, but the loop is itertuples over
+            # the three needed columns — no per-row Series boxing; the
+            # frame count is a vectorized column op
+            frames = np.where(
+                pdf["kind"].to_numpy() == "video",
+                np.maximum(
+                    1, pdf["duration_ms"].to_numpy() // frame_stride_ms
+                ),
+                1,
+            ).astype("int32")
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                payload = bytes(payload)
+                feat = _fake_decode(payload, dim)
                 out.append(
                     (
-                        int(row["media_id"]), row["kind"], len(payload),
+                        int(mid), kind, len(payload),
                         hashlib.sha1(payload).hexdigest(),
-                        [float(x) for x in feat], frames,
+                        [float(x) for x in feat],
                     )
                 )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "kind", "n_bytes", "sha1", "feature",
-                    "frames_sampled",
-                ],
+            res = pd.DataFrame(
+                out, columns=["media_id", "kind", "n_bytes", "sha1", "feature"]
             )
+            res["frames_sampled"] = frames
+            yield res
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+# shared SQL text: a deterministic media table derived from `part`, so the
+# media pipeline has a DuckDB-checkable oracle. The payload string evaluates
+# identically in Spark SQL and DuckDB; Spark additionally encodes it to the
+# binary payload column (the oracle only needs its byte length and distinct
+# count, both derivable from the string).
+MEDIA_PAYLOAD_SQL = (
+    "repeat(concat(p_name, '|', CAST(p_partkey AS STRING), '|', p_brand), "
+    "CAST(p_partkey % 5 AS INT) + 1)"
+)
+MEDIA_FROM_PART_SQL = (
+    "SELECT p_partkey AS media_id,"
+    " CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+    "  ELSE 'video' END AS kind,"
+    f" {MEDIA_PAYLOAD_SQL} AS payload_str,"
+    " CAST(64 + p_partkey % 32 AS INT) AS width,"
+    " CAST(64 + p_partkey % 16 AS INT) AS height,"
+    " CAST((p_partkey % 7) * 1000 AS INT) AS duration_ms"
+    " FROM part"
+)
+
+
+def media_from_part(spark, part_df) -> DataFrame:
+    """MEDIA_SCHEMA-shaped table from `part` rows (payload = UTF-8 bytes of
+    the shared deterministic string)."""
+    part_df.createOrReplaceTempView("part")
+    return spark.sql(MEDIA_FROM_PART_SQL).select(
+        "media_id", "kind",
+        F.encode(F.col("payload_str"), "utf-8").alias("payload"),
+        F.concat(
+            F.col("kind"), F.lit("/x-synthetic")
+        ).alias("mime"),
+        "width", "height", "duration_ms",
+    )
+
+
+MEDIA_SUMMARY_SQL = f"""
+WITH media AS ({MEDIA_FROM_PART_SQL})
+SELECT kind, count(*) AS n_media,
+       CAST(sum(strlen(payload_str)) AS BIGINT) AS total_bytes,
+       round(avg(CASE WHEN kind = 'video'
+                      THEN greatest(1, duration_ms // 500)
+                      ELSE 1 END), 6) AS avg_frames,
+       count(DISTINCT payload_str) AS distinct_payloads
+FROM media
+GROUP BY kind
+ORDER BY kind
+"""
 
 
 def media_summary(features: DataFrame) -> DataFrame:
