@@ -355,33 +355,22 @@ class CrawlEngine:
         # shuffle-join path is already url-hash partitioned — no extra pass.
         if broadcast_fetch:
             hits = hits.repartition(self.n_part, "url")
-        hits = self._pin(hits.withColumn("_pid", F.spark_partition_id()))
         if n_popped == 0:
             self.stopped = True
             return False
-        if self.record_dequeues:
-            hit_seqs = {r["seq"] for r in hits.select("seq").collect()}
-            for r in popped.select("seq", "path").orderBy("seq").collect():
-                self.dequeue_log.append(
-                    (self.round_num, r["seq"], r["path"], r["seq"] in hit_seqs)
-                )
-        # one job: per-partition lineage counts AND the fetched total
-        part_counts = {
-            r["_pid"]: r["cnt"]
-            for r in hits.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-        }
-        n_hits = sum(part_counts.values())
-        mark("dequeue_fetch")
-        self.pages_crawled += n_hits
 
-        # --- parse: ONE UDF pass over the fetched html produces both the
-        # gated book records (P3: category pages only) and the sorted link
-        # arrays; pinned so neither downstream branch re-parses -------------
+        # --- fetch+parse: the join feeds ONE pinned UDF pass producing both
+        # the gated book records (P3: category pages only) and the sorted
+        # link arrays; a single agg over the pinned result then yields the
+        # per-partition lineage counts AND the link totals — the fetch pin,
+        # lineage agg and link-count agg that used to be three extra jobs
+        # are fused into this pin + one agg ---------------------------------
         page_url = F.concat(F.lit(self.base_url), F.col("path"))
         parsed = self._pin(
             hits.select(
                 "seq",
                 "path",
+                F.spark_partition_id().alias("_pid"),
                 F.when(
                     X.book_parse_gate_expr(F.col("path")),
                     U.parse_books_udf(F.col("html"), page_url),
@@ -391,6 +380,33 @@ class CrawlEngine:
                 U.extract_links_udf(F.col("html"), page_url).alias("links"),
             )
         )
+        stats = parsed.groupBy("_pid").agg(
+            F.count("*").alias("cnt"),
+            F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("n_links"),
+            F.coalesce(
+                F.sum(
+                    F.size(
+                        F.filter(
+                            F.col("links"),
+                            lambda x: X.should_ignore_url_expr(x),
+                        )
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_ignored"),
+        ).collect()
+        part_counts = {r["_pid"]: r["cnt"] for r in stats}
+        n_hits = sum(part_counts.values())
+        n_extracted = sum(r["n_links"] for r in stats)
+        n_ignored = sum(r["n_ignored"] for r in stats)
+        if self.record_dequeues:
+            hit_seqs = {r["seq"] for r in parsed.select("seq").collect()}
+            for r in popped.select("seq", "path").orderBy("seq").collect():
+                self.dequeue_log.append(
+                    (self.round_num, r["seq"], r["path"], r["seq"] in hit_seqs)
+                )
+        mark("dequeue_fetch")
+        self.pages_crawled += n_hits
 
         # --- books: canonical-URL dedup in discovery order -----------------
         pods = (
@@ -442,20 +458,20 @@ class CrawlEngine:
         self.items_count += new_item_count
         mark("parse_books")
 
-        # --- links: scope-filter + enqueue-dedup (explode of pinned parse) --
-        lk = parsed.select(
-            F.col("seq").alias("parent_seq"),
-            F.posexplode("links").alias("link_rank", "link"),
-        ).withColumn("ignored", X.should_ignore_url_expr(F.col("link")))
-        _cnt = lk.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(F.col("ignored").cast("int")), F.lit(0)).alias("ig"),
-        ).first()
-        n_extracted, n_ignored = _cnt["n"], _cnt["ig"]
-        mark("extract_links")
-
+        # --- links: scope-filter + enqueue-dedup (explode of pinned parse).
+        # The in-scope filter runs INSIDE the link array (order-preserving,
+        # so the (parent_seq, link_rank) first-wins order is the oracle's);
+        # totals were already folded into the parse-stats agg above ---------
         kept = (
-            lk.filter(~F.col("ignored"))
+            parsed.select(
+                F.col("seq").alias("parent_seq"),
+                F.posexplode(
+                    F.filter(
+                        F.col("links"),
+                        lambda x: ~X.should_ignore_url_expr(x),
+                    )
+                ).alias("link_rank", "link"),
+            )
             .withColumn(
                 "path",
                 F.when(
@@ -466,40 +482,31 @@ class CrawlEngine:
             .withColumn("url", F.concat(F.lit(self.base_url), F.col("path")))
             .withColumn("canonical", U.canonicalize_udf(F.col("link")))
         )
+        n_kept_expected = n_extracted - n_ignored  # rows in `kept` pre-robots
 
         # robots: per-host disallowed-prefix anti-join (broadcast rules +
-        # host equi-key with a startswith residual). Placement mirrors the
+        # host equi-key with a startswith residual; host from the ORIGINAL
+        # link — the oracle's K.url_host(link)). Placement mirrors the
         # reference's enqueue-time filter: blocked links are never deduped,
-        # never seen, never fetched. Blocked rows count as IGNORED links —
-        # the oracle's accounting (crawl_oracle.py: robots_disallow hits
-        # increment ignored_links).
-        n_robots_blocked = 0
-        if self.robots_rules is not None:
+        # never seen, never fetched. Blocked rows count as IGNORED links
+        # (the oracle's accounting) — derived from the post-filter row count
+        # in the pinned stats below, no extra job.
+        has_robots = self.robots_rules is not None
+        if has_robots:
             rules = self.robots_rules.select(
-                F.col("host").alias("_rhost"), F.col("prefix").alias("_rprefix")
+                F.col("host").alias("_rhost"),
+                F.col("prefix").alias("_rprefix"),
             )
-            # host from the ORIGINAL link (the oracle's K.url_host(link)) —
-            # deriving it from base_url+path garbles absolute same-domain
-            # links. Pinned so the canonicalize UDF pass runs once and the
-            # blocked-count semi-join + anti-join both read materialized rows.
-            kept = self._pin(
-                kept.withColumn("_khost", X.url_host_expr(F.col("link")))
-            )
-            robots_cond = (F.col("_khost") == F.col("_rhost")) & F.col(
-                "path"
-            ).startswith(F.col("_rprefix"))
-            n_robots_blocked = (
-                kept.join(F.broadcast(rules), robots_cond, "left_semi").count()
-            )
-            kept = kept.join(F.broadcast(rules), robots_cond, "left_anti").drop(
-                "_khost"
-            )
-        n_ignored += n_robots_blocked
+            robots_cond = (
+                X.url_host_expr(F.col("link")) == F.col("_rhost")
+            ) & F.col("path").startswith(F.col("_rprefix"))
+            kept = kept.join(F.broadcast(rules), robots_cond, "left_anti")
 
         # Bloom pre-filter: definitely-new rows skip the exact anti-join.
         # Bitmap is incremental — only this round's new canonicals are
         # hashed in; full rebuilds only on capacity growth.
         n_bloom_checked = -1
+        n_robots_blocked = 0
         if self.use_bloom:
             self._bloom_ensure()
             if self._bloom_shards is not None:
@@ -518,22 +525,36 @@ class CrawlEngine:
                         F.xxhash64("canonical", F.lit(1)),
                     ),
                 )
-            # pin once: the canonicalize UDF + probe run exactly one pass;
-            # the sure-new / maybe branches below are then free filters
+            # pin once: the canonicalize UDF + robots anti-join + probe run
+            # exactly one pass; ONE agg then yields both the post-robots row
+            # count (→ robots-blocked total) and the maybe-seen total
             kept = self._pin(flagged)
+            _ks = kept.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.sum(F.col("_maybe").cast("long")), F.lit(0)
+                ).alias("m"),
+            ).first()
+            n_bloom_checked = _ks["m"]
+            if has_robots:
+                n_robots_blocked = n_kept_expected - _ks["n"]
             sure_new = kept.filter(~F.col("_maybe")).drop("_maybe")
             maybe = kept.filter(F.col("_maybe")).drop("_maybe")
-            n_bloom_checked = maybe.count()
             checked = maybe.join(self.seen.select("canonical"), "canonical", "left_anti")
             cand = sure_new.unionByName(checked)
         else:
+            if has_robots:
+                kept = self._pin(kept)
+                n_robots_blocked = n_kept_expected - kept.count()
             cand = kept.join(self.seen.select("canonical"), "canonical", "left_anti")
+        n_ignored += n_robots_blocked
+        mark("extract_links")
 
         wl = Window.partitionBy("canonical").orderBy("parent_seq", "link_rank")
         firsts = (
             cand.withColumn("_rn", F.row_number().over(wl))
             .filter(F.col("_rn") == 1)
-            .drop("_rn", "ignored", "link")
+            .drop("_rn", "link")
         )
         # same pin-then-number pattern as items: projections in parallel,
         # the seq stage moves only final columns
