@@ -107,6 +107,12 @@ def worker(cores: int) -> None:
     eng.run(seeds, max_rounds=2)
     wall = time.time() - t0
 
+    # per-phase walls summed across rounds (RoundMetrics.phase_ms)
+    phases: dict[str, float] = {}
+    for m in eng.metrics:
+        for k, v in m.phase_ms.items():
+            phases[k] = round(phases.get(k, 0.0) + v, 1)
+
     print(json.dumps({
         "cores": cores,
         "site_pages": n_pages,
@@ -116,6 +122,7 @@ def worker(cores: int) -> None:
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(eng.pages_crawled / wall, 2),
         "round_walls_ms": [round(m.wall_ms) for m in eng.metrics],
+        "phase_ms": phases,
     }))
     spark.stop()
 
@@ -176,6 +183,56 @@ def main() -> None:
                 f"**Scaling efficiency local[{a}] -> local[{b}] (N -> 4N): "
                 f"{eff(a, b):.3f}** (= throughput ratio / core ratio; "
                 "target >= 0.8 per BASELINE.json).\n\n"
+            )
+
+        # ---- per-phase breakdown (best run per level): which phases scale
+        # with cores and which are fixed driver/stage cost ----
+        all_phases = sorted(
+            {k for c in best for k in best[c].get("phase_ms", {})}
+        )
+        if all_phases:
+            f.write(
+                "## Per-phase walls (best run per level, summed over "
+                "rounds)\n\nPhases are the engine's internal marks "
+                "(RoundMetrics.phase_ms): `dequeue_fetch` = fetch join + "
+                "parse UDFs + lineage agg, `parse_books` = book dedup + "
+                "item seq, `extract_links` = link explode + canonicalize + "
+                "robots + bloom probe, `dedup_seq` = exact anti-join + "
+                "first-wins + seq assignment, `state_update` = frontier/"
+                "seen union + bloom update.\n\n| phase | "
+                + " | ".join(f"local[{c}] (s)" for c in sorted(best))
+                + " | speedup lo->hi |\n|" + " --- |" * (len(best) + 2) + "\n"
+            )
+            for ph in all_phases:
+                vals = [best[c].get("phase_ms", {}).get(ph, 0.0) / 1000
+                        for c in sorted(best)]
+                sp = vals[0] / vals[-1] if vals[-1] else float("nan")
+                f.write(
+                    f"| {ph} | "
+                    + " | ".join(f"{v:.1f}" for v in vals)
+                    + f" | {sp:.2f}x |\n"
+                )
+            f.write("\n")
+
+        # ---- Amdahl fit from the two-cluster-size rule's endpoints:
+        # wall(N) = serial + parallel/N solved from (lo, hi) best walls ----
+        wlo, whi = best[lo]["wall_sec"], best[hi]["wall_sec"]
+        par = (wlo - whi) * (lo * hi) / (hi - lo)
+        ser = wlo - par / lo
+        if par > 0:
+            frac = par / (par + ser)
+            f.write(
+                f"## Parallel-fraction estimate (Amdahl fit over "
+                f"local[{lo}] / local[{hi}] best walls)\n\n"
+                f"`wall(N) = serial + parallel/N` fitted to the endpoint "
+                f"best walls gives **serial ≈ {ser:.1f}s, parallel@1core ≈ "
+                f"{par:.1f}s → parallel fraction ≈ {frac:.3f}**. The serial "
+                f"term is dominated by single-JVM fixed cost per Spark "
+                f"job/stage (driver scheduling, Python-worker dispatch) "
+                f"times the ~dozen jobs per round — on a real multi-"
+                f"executor cluster this term does not grow with executor "
+                f"count, while the parallel term (Arrow-vectorized parse/"
+                f"canonicalize/dedup) partitions by data.\n\n"
             )
         f.write(
             "## Environment caveats (measured)\n\n"
