@@ -58,22 +58,30 @@ HEADLINE = [
     "url_canonicalize",        # pandas-UDF kernel over 20k urls
     "url_predicates",
     "url_repair",
+    "url_normalize",
     "price_rating_coercion",
+    "parse_books",             # F3 UDTF over synthesized listing pages
+    "parse_book_page",
+    "parse_extract_links",
     "item_stats",
     "crawl_rate",
+    "worker_totals",
     "dedup_first_wins",
+    "dedup_content_item",
     "seen_anti_join",
     "window_last_n",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "near_dup_pipeline",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "text_token_counts",
     "text_quality",
     "text_langid",
     "doc_fingerprints",
+    "multimodal_features",
 ]
 
 
@@ -97,6 +105,11 @@ def crawl_bench(spark, n_books: int) -> dict:
     eng.run("/catalogue/page-1.html")
     wall = time.time() - t0
     pages.unpersist()
+    # Bloom pre-filter effectiveness: candidate link rows that still needed
+    # the exact seen anti-join vs all in-scope candidates (the shrink is the
+    # point of the filter — sure-new rows skip the join entirely)
+    candidates = sum(m.links_new + m.links_dup for m in eng.metrics)
+    checked = sum(max(m.bloom_checked, 0) for m in eng.metrics)
     return {
         "crawl_wall_sec": round(wall, 3),
         "crawl_pages_fetched": eng.pages_crawled,
@@ -104,6 +117,10 @@ def crawl_bench(spark, n_books: int) -> dict:
         "urls_per_sec": round(eng.pages_crawled / wall, 2),
         "rounds_to_drain": eng.round_num,
         "crawl_items": eng.items_count,
+        "bloom_candidate_rows": candidates,
+        "bloom_checked_rows": checked,
+        "bloom_antijoin_shrink": round(1 - checked / candidates, 4)
+        if candidates else 0.0,
     }
 
 
