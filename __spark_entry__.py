@@ -655,6 +655,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    # near-dup fixture: the synthetic embeddings are near-orthogonal (no
+    # natural pairs above cosine 0.5), so the near-dup queries run over the
+    # table augmented with SCALED copies (positive scaling preserves cosine
+    # → planted pairs at cosine ≈ 1.0); both engines build it identically
+    def _augmented_emb(spark, sf):
+        e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        dups = e.filter(F.col("vec_id") < 100).selectExpr(
+            "vec_id + 10000 AS vec_id",
+            "transform(embedding,"
+            " x -> CAST(x * CAST(1.01 AS DOUBLE) AS FLOAT)) AS embedding",
+        )
+        return e.filter(F.col("vec_id") < 200).unionByName(dups)
+
+    def embedding_near_dup_exact(spark, sf):
+        return SIM.exact_near_dup_pairs(_augmented_emb(spark, sf),
+                                        threshold=0.9)
+
+    q["embedding_near_dup_exact"] = embedding_near_dup_exact
+
+    def embedding_near_dup_lsh(spark, sf):  # rows-only; recall in pytest
+        return SIM.embedding_cosine_near_dups(
+            _augmented_emb(spark, sf), threshold=0.9
+        ).select("id_a", "id_b", "cosine")
+
+    q["embedding_near_dup_lsh"] = embedding_near_dup_lsh
+
     def embedding_norms(spark, sf):
         emb = _t(spark, sf, "embeddings")
         return emb.groupBy("label").agg(
@@ -1063,6 +1089,20 @@ FROM documents GROUP BY md5(text)
     o["near_dup_pipeline"] = DD.near_dup_pipeline_sql(0.1)
 
     o["ann_cosine_topk"] = SIM.brute_force_topk_sql(n_queries=5, k=10)
+    # same augmentation as the Spark side (DuckDB spells transform as
+    # list_transform; float math is identical IEEE either way)
+    aug = """
+SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+UNION ALL
+SELECT vec_id + 10000 AS vec_id,
+       list_transform(embedding,
+                      x -> CAST(x * CAST(1.01 AS DOUBLE) AS FLOAT)) AS embedding
+FROM embeddings WHERE vec_id < 100
+"""
+    o["embedding_near_dup_exact"] = SIM.exact_near_dup_pairs_sql(0.9).replace(
+        "FROM embeddings a JOIN embeddings b",
+        f"FROM ({aug}) a JOIN ({aug}) b",
+    )
 
     o["embedding_norms"] = """
 SELECT label, count(*) AS n_vectors,

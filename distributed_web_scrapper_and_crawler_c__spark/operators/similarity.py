@@ -145,6 +145,37 @@ def lsh_ann_topk(
     )
 
 
+def exact_near_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All-pairs cosine ≥ threshold — the exact baseline the LSH-blocked
+    path (:func:`embedding_cosine_near_dups`) is measured against. O(n²)
+    nested-loop join: oracle/test scale only; never the 100 TB path."""
+    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def exact_near_dup_pairs_sql(threshold: float = 0.95) -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CAST(list_cosine_similarity(
+             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+       ) AS DOUBLE), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(CAST(list_cosine_similarity(
+          list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+          list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+      ) AS DOUBLE), 6) >= {threshold}
+"""
+
+
 def embedding_cosine_near_dups(emb: DataFrame, threshold: float = 0.95,
                                n_planes: int = 6, seed: int = 7) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold, LSH-blocked

@@ -250,6 +250,26 @@ def test_warc_ts_unique_and_slice_invariant(spark):
     }
 
 
+def test_embedding_near_dup_lsh_recall(spark):
+    """LSH-blocked near-dup pairs ⊆ exact pairs (same cosine filter runs on
+    blocked candidates) and recall ≥ 0.9 on planted near-duplicates."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    q = E.queries()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in q["embedding_near_dup_exact"](spark, sf).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in q["embedding_near_dup_lsh"](spark, sf).collect()
+    }
+    assert lsh <= exact
+    assert exact, "fixture must plant pairs"
+    assert len(lsh & exact) / len(exact) >= 0.9
+
+
 def test_next_edges_cover_all_pages(spark):
     """ADVICE r1: find_next_link runs on EVERY page (Crawler.cpp:99-103),
     not only listing-shaped ones — a non-listing page carrying a
