@@ -62,45 +62,142 @@ def next_edges(pages: DataFrame) -> DataFrame:
     return edges.filter(F.col("next_url") != "")
 
 
+def chain_indices_distributed(
+    spark: SparkSession, edges: DataFrame, start_url: str
+) -> DataFrame:
+    """(url, chain_idx) for the next-pointer chain from ``start_url``,
+    computed by binary lifting over the edge table: each iteration composes
+    the pointer with itself (p'(u) = p(p(u)), w'(u) = w(u) + w(p(u))), so
+    after O(log L) self-joins every node knows its terminal and its
+    distance to it — no driver-held chain, collect-free. The chain is then
+    ``{u : terminal(u) = terminal(start), dist(u) ≤ dist(start)}`` with
+    ``chain_idx = dist(start) - dist(u)``.
+
+    Requires an acyclic pointer graph whose chains do not merge upstream of
+    the start's chain (true for pagination next-links); both conditions are
+    verified and a ``ValueError`` is raised otherwise so the caller can
+    fall back to the driver walk."""
+    p = edges.select(
+        "url", F.col("next_url").alias("p"), F.lit(1).cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    n_edges = p.count()
+    if n_edges == 0:
+        return spark.createDataFrame([(start_url, 0)], "url string, chain_idx int")
+    # an acyclic chain of E edges converges once 2^k ≥ E; one extra
+    # iteration of headroom — anything still growing past that is a cycle
+    max_iters = max(1, n_edges - 1).bit_length() + 1
+    converged = False
+    mx_old = None
+    for _ in range(max_iters):
+        b = p.selectExpr("url AS p", "p AS p2", "w AS w2")
+        p = (
+            p.join(b, "p", "left")
+            .select(
+                "url",
+                F.coalesce("p2", F.col("p")).alias("p"),
+                (F.col("w") + F.coalesce("w2", F.lit(0))).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        mx_new = p.agg(F.max("w")).first()[0]
+        if mx_new == mx_old:
+            converged = True
+            break
+        mx_old = mx_new
+    if not converged and p.agg(F.max("w")).first()[0] > n_edges:
+        raise ValueError("next-pointer graph has a cycle (no convergence)")
+
+    srow = p.filter(F.col("url") == start_url).first()
+    if srow is None:
+        # start has no next link: the chain is the start page alone
+        return spark.createDataFrame([(start_url, 0)], "url string, chain_idx int")
+    end, wstart = srow["p"], srow["w"]
+    chain = (
+        p.filter((F.col("p") == end) & (F.col("w") <= wstart))
+        .select("url", (F.lit(wstart) - F.col("w")).cast("int").alias("chain_idx"))
+        .unionByName(
+            spark.createDataFrame(
+                [(end, int(wstart))], "url string, chain_idx int"
+            )
+        )
+    ).localCheckpoint(eager=True)
+    n = chain.count()
+    n_idx = chain.select("chain_idx").distinct().count()
+    if n != wstart + 1 or n_idx != n:
+        raise ValueError(
+            "pointer chains merge upstream of the start's chain — "
+            "chain membership is ambiguous; use the driver walk"
+        )
+    return chain
+
+
+# above this many next-bearing edges the driver walk's collect is replaced
+# by the binary-lifting plan (log L self-joins, nothing driver-held)
+DISTRIBUTED_EDGE_THRESHOLD = 100_000
+
+
 def sequential_crawl(
     spark: SparkSession,
     pages: DataFrame,
     hostname: str = "books.toscrape.com",
     start_path: str = "/catalogue/page-1.html",
     max_pages: int = 0,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Run the sequential strategy; returns the deduped book DataFrame in
     discovery order (chain_idx, book_rank) — the exact order
-    ``crawl_website`` appends to ``all_books``."""
+    ``crawl_website`` appends to ``all_books``.
+
+    ``strategy``: 'driver' walks the collected edge map on the driver (the
+    round-1 shape; exact, bounded by the next-bearing page count);
+    'distributed' uses :func:`chain_indices_distributed` (collect-free);
+    'auto' switches on :data:`DISTRIBUTED_EDGE_THRESHOLD`."""
     base_url = "http://" + hostname
+    start_url = base_url + start_path
 
-    edges = {
-        r["url"]: r["next_url"]
-        for r in next_edges(pages.select("url", "html")).collect()
-    }
+    edge_df = next_edges(pages.select("url", "html")).localCheckpoint(
+        eager=True
+    )
+    if strategy == "auto":
+        strategy = (
+            "distributed"
+            if edge_df.count() >= DISTRIBUTED_EDGE_THRESHOLD
+            else "driver"
+        )
 
-    chain: list[str] = []
-    cur = base_url + start_path
-    seen_urls = set()
-    while cur and (max_pages <= 0 or len(chain) < max_pages):
-        if cur in seen_urls:  # defensive: a next-cycle would loop forever
-            break
-        if cur not in edges:
-            # page either absent from the store (fetch failure → break,
-            # Crawler.cpp:66-69) or not listing-shaped; the reference still
-            # parses it (finding no pods) and stops at its empty next link.
+    if strategy == "distributed":
+        chain_df = chain_indices_distributed(spark, edge_df, start_url)
+        if max_pages > 0:
+            chain_df = chain_df.filter(F.col("chain_idx") < max_pages)
+    else:
+        edges = {r["url"]: r["next_url"] for r in edge_df.collect()}
+        chain: list[str] = []
+        cur = start_url
+        seen_urls = set()
+        while cur and (max_pages <= 0 or len(chain) < max_pages):
+            if cur in seen_urls:  # defensive: a next-cycle would loop forever
+                break
+            if cur not in edges:
+                # page either absent from the store (fetch failure → break,
+                # Crawler.cpp:66-69) or carrying no next link; the reference
+                # still parses it and stops at its empty next link.
+                chain.append(cur)
+                break
+            seen_urls.add(cur)
             chain.append(cur)
-            break
-        seen_urls.add(cur)
-        chain.append(cur)
-        cur = edges[cur]
+            cur = edges[cur]
 
-    chain_df = spark.createDataFrame(
-        list(enumerate(chain)), "chain_idx int, url string"
-    )
-    fetched = pages.select("url", "html").join(
-        F.broadcast(chain_df), "url", "inner"
-    )
+        chain_df = spark.createDataFrame(
+            list(enumerate(chain)), "chain_idx int, url string"
+        )
+    # driver-mode chains are tiny → broadcast; distributed-mode chains can
+    # be arbitrarily long → let the planner shuffle on url
+    if strategy == "distributed":
+        fetched = pages.select("url", "html").join(chain_df, "url", "inner")
+    else:
+        fetched = pages.select("url", "html").join(
+            F.broadcast(chain_df), "url", "inner"
+        )
 
     pods = (
         fetched.select(

@@ -250,6 +250,39 @@ def test_warc_ts_unique_and_slice_invariant(spark):
     }
 
 
+def test_sequential_distributed_matches_driver(spark, pages, pages_map):
+    """The binary-lifting chain indexer (collect-free scale path) must
+    produce the identical book sequence as the driver walk and the
+    reference oracle, with and without max_pages."""
+    from distributed_web_scrapper_and_crawler_c__spark.plans.sequential import (
+        sequential_crawl,
+        sequential_oracle,
+    )
+
+    for mp in (0, 4):
+        drv = sequential_crawl(spark, pages, max_pages=mp,
+                               strategy="driver").collect()
+        dst = sequential_crawl(spark, pages, max_pages=mp,
+                               strategy="distributed").collect()
+        assert [tuple(r) for r in dst] == [tuple(r) for r in drv], f"mp={mp}"
+        want = sequential_oracle(pages_map, max_pages=mp)
+        assert [
+            (r["title"], r["price"], r["rating"], r["url"]) for r in dst
+        ] == [(b.title, b.price, b.rating, b.url) for b in want], f"mp={mp}"
+
+
+def test_chain_indices_cycle_detection(spark):
+    from distributed_web_scrapper_and_crawler_c__spark.plans.sequential import (
+        chain_indices_distributed,
+    )
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "url string, next_url string"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        chain_indices_distributed(spark, cyc, "a")
+
+
 def test_embedding_near_dup_lsh_recall(spark):
     """LSH-blocked near-dup pairs ⊆ exact pairs (same cosine filter runs on
     blocked candidates) and recall ≥ 0.9 on planted near-duplicates."""
