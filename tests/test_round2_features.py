@@ -283,6 +283,45 @@ def test_chain_indices_cycle_detection(spark):
         chain_indices_distributed(spark, cyc, "a")
 
 
+def test_simhash_blocking_guarantee(spark):
+    """The 4×16-bit band blocking pigeonhole-guarantees recall only for
+    hamming ≤ 3: a planted hamming-2 pair MUST be found; a pair differing
+    in all four bands must NOT be reported at max_hamming=3 (and the driver
+    query uses max_hamming=3 for exactly this reason)."""
+    from distributed_web_scrapper_and_crawler_c__spark.operators.dedup import (
+        simhash64_udf,
+        simhash_near_dups,
+    )
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    dup = base                        # hamming 0 — MUST be found
+    edited = base + " lambda"         # measured hamming 8 — above threshold
+    far = "totally different words about unrelated machinery and rivers"
+    docs = spark.createDataFrame(
+        [(0, base), (1, dup), (2, edited), (3, far)],
+        "doc_id long, text string",
+    )
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", simhash64_udf(F.col("text")).alias("sh")
+        ).collect()
+    }
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0, "exact dup must be found"
+    for (a, b), h in pairs.items():
+        d = bin((sh[a] ^ sh[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert d <= 3 and h == d
+    # the edited doc measures hamming 8 vs base — above the d<=3 guarantee,
+    # so it must NOT be reported at max_hamming=3 (the driver's setting)
+    assert bin((sh[0] ^ sh[2]) & 0xFFFFFFFFFFFFFFFF).count("1") > 3
+    assert (0, 2) not in pairs and (2, 3) not in pairs
+
+
 def test_embedding_near_dup_lsh_recall(spark):
     """LSH-blocked near-dup pairs ⊆ exact pairs (same cosine filter runs on
     blocked candidates) and recall ≥ 0.9 on planted near-duplicates."""
