@@ -101,7 +101,14 @@ def worker(cores: int) -> None:
     ).mode("overwrite").save()
 
     seeds = [f"/catalogue/page-{n}.html" for n in range(1, spec.n_listing_pages + 1)]
-    eng = CrawlEngine(spark, pages, use_bloom=True, num_partitions=cores)
+    # fetch-join strategy knob (experiment: SPARK_SCALING_BCAST=1000000
+    # broadcasts the html-free slice so the page store never moves — the
+    # local-mode stand-in for a bucketed store's storage-partitioned join;
+    # measured within noise of the shuffle path at 600k pages, so the
+    # engine default stands)
+    bcast = int(os.environ.get("SPARK_SCALING_BCAST", "100000"))
+    eng = CrawlEngine(spark, pages, use_bloom=True, num_partitions=cores,
+                      broadcast_threshold=bcast)
     eng.seed(seeds)
     t0 = time.time()
     eng.run(seeds, max_rounds=2)
