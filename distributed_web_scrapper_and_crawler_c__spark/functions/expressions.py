@@ -36,8 +36,17 @@ def canonicalize_url_sql(col: str) -> str:
     """SQL-text pipeline for F7 — usable verbatim in Spark SQL and (with the
     same semantics) in DuckDB for the oracle. Steps in C++ order:
     lower → strip scheme → strip www. → strip ONE trailing '/' →
-    strip #fragment → strip ?query unless 'search'/'filter' in the url."""
-    lowered = f"lower({col})"
+    strip #fragment → strip ?query unless 'search'/'filter' in the url.
+
+    Lowering is ``translate`` over A-Z only — C++ ``std::tolower`` in the C
+    locale is ASCII-only, while SQL ``lower()`` also lowers non-ASCII
+    letters; translate keeps the expression byte-identical to the kernel
+    (kernels.py ``_ASCII_LOWER``) on arbitrary input, which lets the crawl
+    engine run this form in whole-stage codegen instead of the Python UDF."""
+    lowered = (
+        f"translate({col}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        f" 'abcdefghijklmnopqrstuvwxyz')"
+    )
     no_scheme = (
         f"CASE WHEN instr({lowered}, '://') > 0 "
         f"THEN substring({lowered}, instr({lowered}, '://') + 3) "

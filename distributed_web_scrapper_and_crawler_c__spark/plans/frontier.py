@@ -97,6 +97,7 @@ class CrawlEngine:
         broadcast_threshold: int = 100_000,
         robots_rules: DataFrame | None = None,
         bloom_shard_threshold: int = 5_000_000,
+        use_expr_canonical: bool = True,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -114,6 +115,10 @@ class CrawlEngine:
         # Applied at enqueue time, like the reference's link filter — blocked
         # urls never enter the frontier OR the seen-set.
         self.robots_rules = robots_rules
+        # F7 in the hot path: the whole-stage-codegen expression twin of the
+        # canonicalize kernel (byte-equal — ASCII-only translate lowering;
+        # fuzz-asserted in tests). False falls back to the pandas UDF.
+        self.use_expr_canonical = use_expr_canonical
 
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
@@ -152,6 +157,13 @@ class CrawlEngine:
         self.dequeue_log: list[tuple] = []
 
     # ------------------------------------------------------------------ state
+
+    def _canonical_col(self, col: str):
+        """F7 over a column: codegen expression by default, pandas UDF when
+        use_expr_canonical=False (both byte-equal to the kernel)."""
+        if self.use_expr_canonical:
+            return F.expr(X.canonicalize_url_sql(col))
+        return U.canonicalize_udf(F.col(col))
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """Truncate lineage between rounds (iterative plans otherwise grow
@@ -416,7 +428,7 @@ class CrawlEngine:
                 F.posexplode("books").alias("book_rank", "_bk"),
             )
             .select("parent_seq", "book_rank", "_bk.*")
-            .withColumn("canonical_url", U.canonicalize_udf(F.col("url")))
+            .withColumn("canonical_url", self._canonical_col("url"))
         )
         book_seen = self.items.select("canonical_url")
         fresh = pods.join(book_seen, "canonical_url", "left_anti")
@@ -480,7 +492,7 @@ class CrawlEngine:
                 ).otherwise(F.col("link")),
             )
             .withColumn("url", F.concat(F.lit(self.base_url), F.col("path")))
-            .withColumn("canonical", U.canonicalize_udf(F.col("link")))
+            .withColumn("canonical", self._canonical_col("link"))
         )
         n_kept_expected = n_extracted - n_ignored  # rows in `kept` pre-robots
 

@@ -207,7 +207,8 @@ def sequential_crawl(
             ).alias("book_rank", "_bk"),
         )
         .select("chain_idx", "book_rank", "_bk.*")
-        .withColumn("canonical_url", U.canonicalize_udf(F.col("url")))
+        # F7 expression twin (codegen; byte-equal to the kernel, fuzz-tested)
+        .withColumn("canonical_url", F.expr(X.canonicalize_url_sql("url")))
     )
     w = Window.partitionBy("canonical_url").orderBy("chain_idx", "book_rank")
     return (

@@ -91,6 +91,15 @@ def test_bloom_prefilter_preserves_exactness(spark, pages, pages_map):
     assert_matches_oracle(eng, res)
 
 
+def test_udf_canonical_path_matches_oracle(spark, pages, pages_map):
+    """The pandas-UDF canonicalize path (use_expr_canonical=False) stays a
+    supported fallback and must be golden-identical to the default
+    expression path."""
+    eng = run_engine(spark, pages, use_expr_canonical=False)
+    res = crawl_oracle.crawl(pages_map)
+    assert_matches_oracle(eng, res)
+
+
 def test_extracted_text_invariant(spark, pages, pages_map):
     """Per-row invariant: byte-identical extracted text per url vs the
     oracle parser, over the whole corpus (FIXTURES.md §5)."""

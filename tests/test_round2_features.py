@@ -283,6 +283,41 @@ def test_chain_indices_cycle_detection(spark):
         chain_indices_distributed(spark, cyc, "a")
 
 
+def test_canonicalize_expr_equals_kernel_fuzz(spark):
+    """The codegen expression form of F7 must be byte-identical to the
+    Python kernel on hostile inputs — including non-ASCII uppercase (where
+    SQL lower() would diverge from C-locale tolower), multiple schemes,
+    fragments/queries in odd orders, and empty strings. The crawl engine
+    runs the expression form in its hot path on the strength of this."""
+    import itertools
+
+    from distributed_web_scrapper_and_crawler_c__spark.functions import (
+        expressions as X,
+    )
+    from distributed_web_scrapper_and_crawler_c__spark.functions import (
+        kernels as K,
+    )
+
+    parts = [
+        "", "HTTP://", "https://", "://", "//",
+        "WWW.", "www.", "É", "Books.TOSCRAPE.com", "h",
+    ]
+    tails = [
+        "", "/", "//", "/A/B.HTML", "#Frag", "?Q=1", "/Search?q=UP",
+        "/filter?x=1#f", "/a/?b#c?d", "straße/Ö", "/x?y#z/",
+    ]
+    urls = ["".join(p) for p in itertools.product(parts, tails)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.selectExpr(
+            "url", X.canonicalize_url_sql("url") + " AS c"
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == K.canonicalize_url(u), repr(u)
+
+
 def test_simhash_blocking_guarantee(spark):
     """The 4×16-bit band blocking pigeonhole-guarantees recall only for
     hamming ≤ 3: a planted hamming-2 pair MUST be found; a pair differing
