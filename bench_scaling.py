@@ -178,8 +178,12 @@ def write_md(here: str, runs: dict[int, list[dict]]) -> None:
             "pod parse; then fetch-join -> link extraction -> canonicalize "
             "-> Bloom+exact dedup -> seq), i.e. the per-round work that "
             "dominates at 10^10-frontier scale.\n\n"
-            f"Each level ran {RUNS_PER_LEVEL}x, interleaved; the table "
-            "reports the BEST run per level (this sandbox is a shared "
+            "Runs per level: "
+            + ", ".join(f"local[{c}]×{len(runs[c])}" for c in levels)
+            + ", interleaved across levels (plus extra interleaved samples "
+            "merged via --rewrite-md when a level only sampled throttled "
+            "epochs); the table reports the BEST run per level (this "
+            "sandbox is a shared "
             "Firecracker VM — identical runs vary up to ~2.5x wall from "
             "host oversubscription, and throttling only ever adds time, so "
             "min-wall estimates true capability; all raw runs below).\n\n"
