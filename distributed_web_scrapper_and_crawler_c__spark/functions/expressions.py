@@ -125,14 +125,24 @@ def rating_value_expr(rating: Column) -> Column:
 
 
 def price_value_expr(price: Column) -> Column:
-    """Expression-form price parse covering the *observed* input shapes
-    (currency symbol + digits with ./, separators). The pandas UDF
-    (udfs.price_value_udf) is the byte-exact spec; this is the codegen fast
-    path, asserted equal on corpus-shaped inputs."""
-    digits = F.regexp_extract(price, r"([0-9][0-9.,]*)", 1)
-    return F.coalesce(
-        F.regexp_replace(digits, ",", ".").cast("double"), F.lit(0.0)
+    """Byte-exact expression twin of ``kernels.price_to_double``
+    (Item.h:54-89), fuzz-asserted equal to the kernel on hostile inputs:
+
+    - every byte before the first digit is dropped (the C++ skips '$'/>127
+      explicitly and appends nothing else pre-digit — same net effect);
+    - from the first digit on, keep [0-9.,] with ',' → '.';
+    - ``std::stod`` = longest valid prefix ``[0-9]+(\\.[0-9]*)?``, 0.0 when
+      nothing parses.
+
+    Runs in whole-stage codegen — this is the engine's hot-path form; the
+    pandas UDF (udfs.price_value_udf) remains the normative spec."""
+    tail = F.regexp_extract(price, r"(?s)([0-9].*)", 1)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(tail, r"[^0-9.,]", ""), ",", "."
     )
+    stod = F.regexp_extract(cleaned, r"^([0-9]+(\.[0-9]*)?)", 1)
+    # try_cast: '' (nothing parsed) → NULL → 0.0, ANSI-mode safe
+    return F.coalesce(stod.try_cast("double"), F.lit(0.0))
 
 
 # --- F16: host classification (server.cpp:255-308) ---

@@ -97,7 +97,7 @@ class CrawlEngine:
         broadcast_threshold: int = 100_000,
         robots_rules: DataFrame | None = None,
         bloom_shard_threshold: int = 5_000_000,
-        use_expr_canonical: bool = True,
+        use_expr_kernels: bool = True,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -118,7 +118,7 @@ class CrawlEngine:
         # F7 in the hot path: the whole-stage-codegen expression twin of the
         # canonicalize kernel (byte-equal — ASCII-only translate lowering;
         # fuzz-asserted in tests). False falls back to the pandas UDF.
-        self.use_expr_canonical = use_expr_canonical
+        self.use_expr_kernels = use_expr_kernels
 
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
@@ -160,10 +160,17 @@ class CrawlEngine:
 
     def _canonical_col(self, col: str):
         """F7 over a column: codegen expression by default, pandas UDF when
-        use_expr_canonical=False (both byte-equal to the kernel)."""
-        if self.use_expr_canonical:
+        use_expr_kernels=False (both byte-equal to the kernel)."""
+        if self.use_expr_kernels:
             return F.expr(X.canonicalize_url_sql(col))
         return U.canonicalize_udf(F.col(col))
+
+    def _price_col(self, col: str):
+        """F15 price→double: codegen expression by default (fuzz-proven
+        byte-equal to Item.h:54-89), pandas UDF as the fallback."""
+        if self.use_expr_kernels:
+            return X.price_value_expr(F.col(col))
+        return U.price_value_udf(F.col(col))
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """Truncate lineage between rounds (iterative plans otherwise grow
@@ -445,7 +452,7 @@ class CrawlEngine:
             fresh.select(
                 "parent_seq", "book_rank", "url", "canonical_url",
                 "title", "price", "rating",
-                U.price_value_udf(F.col("price")).alias("price_value"),
+                self._price_col("price").alias("price_value"),
                 X.rating_value_expr(F.col("rating")).alias("rating_value"),
                 X.classify_item_type_expr(X.url_host_expr(F.col("url"))).alias(
                     "item_type"

@@ -92,10 +92,10 @@ def test_bloom_prefilter_preserves_exactness(spark, pages, pages_map):
 
 
 def test_udf_canonical_path_matches_oracle(spark, pages, pages_map):
-    """The pandas-UDF canonicalize path (use_expr_canonical=False) stays a
+    """The pandas-UDF kernel path (use_expr_kernels=False) stays a
     supported fallback and must be golden-identical to the default
     expression path."""
-    eng = run_engine(spark, pages, use_expr_canonical=False)
+    eng = run_engine(spark, pages, use_expr_kernels=False)
     res = crawl_oracle.crawl(pages_map)
     assert_matches_oracle(eng, res)
 

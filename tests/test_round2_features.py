@@ -318,6 +318,33 @@ def test_canonicalize_expr_equals_kernel_fuzz(spark):
         assert got[u] == K.canonicalize_url(u), repr(u)
 
 
+def test_price_expr_equals_kernel_fuzz(spark):
+    """The codegen price parser must be byte-identical to the kernel
+    (Item.h:54-89 semantics) on hostile inputs: currency bytes between
+    digits, double dots, separators before the first digit, signs, unicode,
+    and empty strings."""
+    from distributed_web_scrapper_and_crawler_c__spark.functions import (
+        expressions as X,
+    )
+    from distributed_web_scrapper_and_crawler_c__spark.functions import (
+        kernels as K,
+    )
+
+    cases = [
+        "", "Free", "£51.77", "$1,024.50", "€7,5", "45.17.3", "4£5",
+        "..3", ",9,", "abc", "-3.5", "+2", "  42,00x", "£", "1.", ".5",
+        "9..", "£0.00", "price: 12 EUR 34", "١٢",  # arabic digits: >127
+        "3·4",  # middle dot >127 between digits
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "p string")
+    got = {
+        r["p"]: r["v"]
+        for r in df.select("p", X.price_value_expr(F.col("p")).alias("v")).collect()
+    }
+    for c in cases:
+        assert got[c] == K.price_to_double(c), repr(c)
+
+
 def test_simhash_blocking_guarantee(spark):
     """The 4×16-bit band blocking pigeonhole-guarantees recall only for
     hamming ≤ 3: a planted hamming-2 pair MUST be found; a pair differing
