@@ -219,6 +219,35 @@ def test_robots_blocked_counted_as_ignored(spark, pages, pages_map):
     assert sum(m.links_new for m in eng.metrics) + 1 == len(res.processed)
 
 
+def test_crawl_worker_totals_match_oracle(spark, pages, pages_map):
+    """A1/A3 over the engine's own lineage metrics: per-partition-worker
+    fetch totals must sum to the oracle's pages_crawled, and per-round
+    increments must match the oracle's dequeue counts."""
+    eng = CrawlEngine(spark, pages)
+    eng.run("/catalogue/page-1.html")
+    res = crawl_oracle.crawl(pages_map)
+    m = eng.metrics_df()
+    total = (
+        m.groupBy("partition_id")
+        .agg(F.sum("partition_urls_fetched").alias("t"))
+        .agg(F.sum("t").alias("total"))
+        .first()["total"]
+    )
+    assert total == res.pages_crawled
+    per_round = {
+        r["round"]: r["n"]
+        for r in m.groupBy("round")
+        .agg(F.first("urls_fetched").alias("n"))
+        .collect()
+    }
+    want = {}
+    for d in res.dequeues:
+        want.setdefault(d.round, 0)  # rounds whose dequeues all miss count 0
+        if d.fetched:
+            want[d.round] += 1
+    assert per_round == want
+
+
 def test_status_df(spark, pages, pages_map):
     eng = CrawlEngine(spark, pages)
     eng.run("/catalogue/page-1.html")
