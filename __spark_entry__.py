@@ -11,10 +11,14 @@ similarity / text analysis). Spark sides exercise the real operators
 independent DuckDB SQL. Aggregate/computed columns are aliased identically
 on both sides; doubles are rounded before comparison.
 
-Non-SQL-expressible ops (SimHash, winnowing fingerprints, LSH-ANN,
-multimodal feature extraction, the crawl itself) have no oracle entry and
-get the driver's rows-only check; their exactness is covered by the pytest
-suite (golden crawl tests, recall tests, reference-differential fuzz).
+Deterministic crawl-state entries (crawl_summary, status_snapshot,
+crawl_worker_totals, crawl_sequential, multimodal_synthetic) carry
+GOLDEN-CONSTANT oracles: the pure-Python crawl/sequential oracles (which
+are differential-tested against the compiled reference) compute the
+expected outputs over the seeded corpora and emit them as literal SELECTs.
+Only the genuinely non-SQL-expressible kernels (SimHash, winnowing
+fingerprints, LSH-ANN) remain rows-only; their exactness is covered by the
+pytest suite (planted-pair guarantees, measured recall, golden crawls).
 """
 
 from __future__ import annotations
@@ -818,22 +822,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spec = sitegen.SiteSpec(n_books=12, n_categories=2, books_per_page=6)
         pages = sitegen.pages_dataframe(spark, spec, slices=2)
         eng = CrawlEngine(spark, pages).run("/catalogue/page-1.html")
-        # A1/A3 over the engine's own lineage metrics: per-partition-worker
-        # lifetime fetch totals and per-round increments
-        m = eng.metrics_df()
-        return (
-            m.groupBy("partition_id")
-            .agg(
-                F.sum("partition_urls_fetched").alias("total_fetched"),
-                F.count("*").alias("rounds_active"),
-                F.max("round").alias("last_round"),
-            )
-            .orderBy("partition_id")
+        # A1/A3 (server.cpp:130-179) over the engine's own lineage metrics,
+        # keyed by ROUND: the per-round fleet fetch increment (A3's delta)
+        # and the running lifetime total (A1). Round-keyed — unlike a
+        # partition_id grouping — these are a pure function of the seeded
+        # corpus, so the Python crawl oracle emits them as a golden-constant
+        # SQL oracle. (Per-PARTITION worker totals remain oracle-asserted in
+        # pytest, where the engine's own partitioning is in scope.)
+        from pyspark.sql import Window
+
+        m = eng.metrics_df().groupBy("round").agg(
+            F.first("urls_fetched").alias("urls_fetched")
         )
+        w = Window.orderBy("round").rowsBetween(Window.unboundedPreceding, 0)
+        return m.select(
+            "round", "urls_fetched",
+            F.sum("urls_fetched").over(w).alias("cum_fetched"),
+        ).orderBy("round")
 
     q["crawl_worker_totals"] = crawl_worker_totals
 
     return q
+
+
+# ---------------------------------------------------------------------------
+# golden-constant oracles (VERDICT r2 task 3)
+#
+# The crawl-state queries run over the SEEDED sitegen corpus, so their
+# expected outputs are computable constants: the pure-Python crawl oracle
+# (itself differential-tested against the compiled reference) produces the
+# exact values, which are emitted as literal-SELECT SQL. This turns the
+# formerly rows-only driver entries into fully value-checked rows without
+# the oracle ever re-running Spark.
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+def _sql_lit(v, typ: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if typ == "VARCHAR":
+        return "'" + str(v).replace("'", "''") + "'"
+    if typ == "BOOLEAN":
+        return "TRUE" if v else "FALSE"
+    return f"CAST({v} AS {typ})"
+
+
+def _literal_select(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    sels = [
+        "SELECT "
+        + ", ".join(f"{_sql_lit(v, t)} AS {n}" for (n, t), v in zip(cols, row))
+        for row in rows
+    ]
+    return "\nUNION ALL\n".join(sels)
+
+
+@functools.lru_cache(maxsize=None)
+def _crawl_golden(n_books: int, n_categories: int, books_per_page: int):
+    from distributed_web_scrapper_and_crawler_c__spark.oracle import (
+        crawl_oracle,
+    )
+    from distributed_web_scrapper_and_crawler_c__spark.sources import sitegen
+
+    spec = sitegen.SiteSpec(
+        n_books=n_books, n_categories=n_categories, books_per_page=books_per_page
+    )
+    return crawl_oracle.crawl(sitegen.pages_dict(spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _sequential_golden(
+    n_books: int, n_categories: int, books_per_page: int
+) -> tuple:
+    """Pure-Python twin of plans.sequential.sequential_crawl over the seeded
+    corpus: the next-link walk + first-wins canonical book dedup, with
+    (chain_idx, book_rank) attached (Crawler.cpp:37-135 order)."""
+    from distributed_web_scrapper_and_crawler_c__spark.functions import (
+        kernels as K,
+    )
+    from distributed_web_scrapper_and_crawler_c__spark.sources import sitegen
+
+    spec = sitegen.SiteSpec(
+        n_books=n_books, n_categories=n_categories, books_per_page=books_per_page
+    )
+    pages_map = sitegen.pages_dict(spec)
+    cur = "http://books.toscrape.com/catalogue/page-1.html"
+    seen: set[str] = set()
+    visited: set[str] = set()
+    rows: list[tuple] = []
+    idx = 0
+    while cur and cur not in visited:
+        visited.add(cur)
+        html = pages_map.get(cur)
+        if html is None:
+            break
+        for rank, b in enumerate(K.parse_books(html, cur)):
+            c = K.canonicalize_url(b.url)
+            if c not in seen:
+                seen.add(c)
+                rows.append((idx, rank, b.title, b.price, b.rating, b.url, c))
+        nxt = K.find_next_link(html)
+        cur = K.normalize_url(nxt, cur) if nxt else ""
+        idx += 1
+    return tuple(rows)
 
 
 # ---------------------------------------------------------------------------
@@ -1117,8 +1209,90 @@ FROM embeddings GROUP BY label
 
     o["multimodal_features"] = MM.MEDIA_SUMMARY_SQL
 
-    # rows-only (no oracle): dedup_simhash, ann_lsh_topk, doc_fingerprints,
-    # multimodal_synthetic (random payload), crawl_summary, crawl_sequential,
-    # status_snapshot, crawl_worker_totals — non-SQL-expressible kernels /
-    # iterative strategies / live-crawl state; covered by pytest golden tests.
+    # ---- golden-constant oracles over the seeded corpora (see helpers
+    # above): the crawl/sequential/synthetic-media entries are deterministic,
+    # so their expected outputs are literal SELECTs computed by the pure-
+    # Python oracles (never by re-running Spark) ----
+
+    res30 = _crawl_golden(30, 3, 10)
+    o["crawl_summary"] = _literal_select(
+        [(
+            res30.pages_crawled,
+            len(res30.processed) - 1,       # seed is enqueued, not discovered
+            res30.duplicate_links,
+            res30.ignored_links,
+            len(res30.books),
+            res30.rounds - 1,
+        )],
+        [
+            ("pages_crawled", "BIGINT"),
+            ("unique_urls_queued", "BIGINT"),
+            ("duplicate_urls_skipped", "BIGINT"),
+            ("ignored_urls", "BIGINT"),
+            ("unique_books", "BIGINT"),
+            ("last_round", "INTEGER"),
+        ],
+    )
+
+    res12 = _crawl_golden(12, 2, 6)
+    o["status_snapshot"] = _literal_select(
+        [(
+            0, len(res12.processed), len(res12.books),
+            res12.pages_crawled, res12.rounds, False,
+        )],
+        [
+            ("queue_size", "BIGINT"),
+            ("processed", "BIGINT"),
+            ("books_found", "BIGINT"),
+            ("pages_crawled", "BIGINT"),
+            ("current_round", "INTEGER"),
+            ("stopped", "BOOLEAN"),
+        ],
+    )
+
+    per_round: dict[int, int] = {}
+    for d in res12.dequeues:
+        per_round.setdefault(d.round, 0)
+        if d.fetched:
+            per_round[d.round] += 1
+    wt_rows, cum = [], 0
+    for r in sorted(per_round):
+        cum += per_round[r]
+        wt_rows.append((r, per_round[r], cum))
+    o["crawl_worker_totals"] = _literal_select(
+        wt_rows,
+        [
+            ("round", "INTEGER"),
+            ("urls_fetched", "BIGINT"),
+            ("cum_fetched", "BIGINT"),
+        ],
+    )
+
+    o["crawl_sequential"] = _literal_select(
+        list(_sequential_golden(30, 3, 10)),
+        [
+            ("chain_idx", "INTEGER"),
+            ("book_rank", "INTEGER"),
+            ("title", "VARCHAR"),
+            ("price", "VARCHAR"),
+            ("rating", "VARCHAR"),
+            ("url", "VARCHAR"),
+            ("canonical_url", "VARCHAR"),
+        ],
+    )
+
+    o["multimodal_synthetic"] = _literal_select(
+        MM.synthetic_media_summary_rows(n=64),
+        [
+            ("kind", "VARCHAR"),
+            ("n_media", "BIGINT"),
+            ("total_bytes", "BIGINT"),
+            ("avg_frames", "DOUBLE"),
+            ("distinct_payloads", "BIGINT"),
+        ],
+    )
+
+    # rows-only (no oracle): dedup_simhash, ann_lsh_topk, doc_fingerprints —
+    # non-SQL-expressible pandas-UDF kernels, exactness covered by pytest
+    # (planted-pair blocking guarantees, measured recall, golden crawls).
     return o

@@ -73,7 +73,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard is deliberately NOT a headline: it is the ungated
+    # quadratic oracle fixture (size-guarded in operators/dedup.py); the
+    # production-scale near-dup path benched here is the LSH-gated pipeline
     "near_dup_pipeline",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -60,12 +60,16 @@ def item_stats(
 def item_stats_sql(table: str, type_col: str, price_col: str,
                    rating_col: str, category_col: str) -> str:
     t, p, r, c = type_col, price_col, rating_col, category_col
+    # The CAST(... AS BIGINT) on the four conditional counts matters for the
+    # driver's value hash: DuckDB's sum() over integer literals yields
+    # HUGEINT (int128), which serializes differently from Spark's BIGINT
+    # even though the values are identical.
     return f"""
 SELECT count(*) AS total_items,
-       sum(CASE WHEN {t} = 'BOOK' THEN 1 ELSE 0 END) AS book_count,
-       sum(CASE WHEN {t} = 'JOB' THEN 1 ELSE 0 END) AS job_count,
-       sum(CASE WHEN {t} = 'PRODUCT' THEN 1 ELSE 0 END) AS product_count,
-       sum(CASE WHEN {t} = 'ARTICLE' THEN 1 ELSE 0 END) AS article_count,
+       CAST(sum(CASE WHEN {t} = 'BOOK' THEN 1 ELSE 0 END) AS BIGINT) AS book_count,
+       CAST(sum(CASE WHEN {t} = 'JOB' THEN 1 ELSE 0 END) AS BIGINT) AS job_count,
+       CAST(sum(CASE WHEN {t} = 'PRODUCT' THEN 1 ELSE 0 END) AS BIGINT) AS product_count,
+       CAST(sum(CASE WHEN {t} = 'ARTICLE' THEN 1 ELSE 0 END) AS BIGINT) AS article_count,
        round(CAST(sum(CAST(CASE WHEN {p} > 0 THEN {p} ELSE 0 END
                            AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_price,
        round(CAST(sum(CAST(CASE WHEN {p} > 0 THEN {p} ELSE 0 END

@@ -103,12 +103,15 @@ N_HASHES = 8
 N_BANDS = 4  # rows per band = N_HASHES / N_BANDS = 2
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, m0..m7): per-doc minimum of md5("<j>:"+shingle) for 8 seeds.
     One groupBy over the shingle explosion; min() is order- and
-    duplicate-insensitive, so no distinct is needed. Hash values are hex
+    duplicate-insensitive, so no distinct is needed (and a pre-distincted
+    shingle set may be passed in via ``sh`` to share the explosion with
+    other stages — the min is identical either way). Hash values are hex
     strings — lexicographic min matches DuckDB byte-for-byte."""
-    sh = shingles(docs)
+    if sh is None:
+        sh = shingles(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"m{j}")
         for j in range(N_HASHES)
@@ -131,11 +134,16 @@ GROUP BY doc_id
 MINHASH_SQL = _minhash_sql_inner()
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """Near-dup candidates: docs sharing any LSH band (band = concatenation
     of 2 adjacent minhashes). Join key is the band value — cost is bounded
-    by bucket sizes, never all-pairs. Returns (doc_a, doc_b) with a < b."""
-    sig = minhash_signatures(docs).cache()
+    by bucket sizes, never all-pairs. Returns (doc_a, doc_b) with a < b.
+
+    The signature frame is pinned with localCheckpoint (not .cache()): it is
+    read once per band, and unlike CacheManager entries a checkpointed RDD
+    is released by the ContextCleaner when the frame goes out of scope — no
+    executor-storage leak across repeated invocations in a long session."""
+    sig = minhash_signatures(docs, sh=sh).localCheckpoint(eager=True)
     pairs = None
     for b in range(N_BANDS):
         band = F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("band")
@@ -169,11 +177,33 @@ LSH_PAIRS_SQL = _lsh_sql()
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+UNGATED_JACCARD_MAX_DOCS = 100_000
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5,
+    max_docs: int | None = UNGATED_JACCARD_MAX_DOCS,
+) -> DataFrame:
     """Exact 3-gram Jaccard over distinct shingles:
     |A∩B| via a shared-shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
-    Returns (doc_a, doc_b, jaccard) rounded to 6 places."""
-    sh = shingles(docs).distinct().cache()
+    Returns (doc_a, doc_b, jaccard) rounded to 6 places.
+
+    The shared-shingle self-join is quadratic in per-shingle frequency —
+    NEVER the corpus-scale path (that is :func:`near_dup_pipeline`, which
+    bounds the exact computation by LSH candidates). To stop an accidental
+    full-corpus run, the input is size-guarded: above ``max_docs`` documents
+    this raises and points at the gated pipeline. ``max_docs=None`` bypasses
+    the guard (oracle fixtures only)."""
+    if max_docs is not None:
+        n = docs.count()
+        if n > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs is the ungated quadratic form and got "
+                f"{n} docs (> max_docs={max_docs}); use near_dup_pipeline "
+                f"(LSH-gated) at corpus scale, or pass max_docs=None to "
+                f"force the exact all-pairs run"
+            )
+    sh = shingles(docs).distinct().localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("x")
@@ -263,10 +293,13 @@ def near_dup_pipeline(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     pipeline bounds the exact computation by the LSH bucket collisions).
 
     Returns (doc_a, doc_b, jaccard) for candidate pairs with
-    jaccard ≥ threshold. Shingles are computed once and reused by both
-    the signature build and the exact intersection."""
-    sh = shingles(docs).distinct().cache()
-    cands = lsh_candidate_pairs(docs)
+    jaccard ≥ threshold. Shingles are computed once (pinned via
+    localCheckpoint — released on GC, unlike .cache()) and reused by BOTH
+    the signature build and the exact intersection: min() over duplicates
+    equals min() over the distinct set, so the signatures read the same
+    pinned distinct-shingle frame."""
+    sh = shingles(docs).distinct().localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(docs, sh=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # intersection sizes restricted to candidate pairs: join the candidate
     # edge list to each side's shingle set — |A∩B| accumulates only over
@@ -311,27 +344,34 @@ FROM exact e JOIN cands c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
 @F.pandas_udf(LongType())
 def simhash64_udf(text: pd.Series) -> pd.Series:
     """64-bit SimHash: md5-derived 64-bit hash per whitespace token,
-    bitwise majority vote. Vectorized with numpy bit-unpacking per batch."""
+    bitwise majority vote. Vectorized ACROSS the batch: tokens of all docs
+    are flattened, each *distinct* token is md5-hashed exactly once, the
+    bit-unpack + signed vote runs as one numpy pass, and per-doc vote sums
+    come from ``np.add.reduceat`` over the flat token run — no per-doc
+    Python loop, no repeated hashing of common tokens."""
     import hashlib
 
     out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        if not t:
-            continue
-        toks = t.lower().split()
-        if not toks:
-            continue
-        hs = np.frombuffer(
-            b"".join(hashlib.md5(w.encode()).digest()[:8] for w in toks),
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        out[i] = np.int64(
-            np.uint64(
-                sum(np.uint64(1) << np.uint64(j) for j in range(64) if votes[j] > 0)
-            ).astype(np.int64)
-        )
+    tok_lists = [t.lower().split() if t else [] for t in text]
+    lens = np.array([len(l) for l in tok_lists], dtype=np.int64)
+    flat = [w for l in tok_lists for w in l]
+    if not flat:
+        return pd.Series(out)
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    hs_uniq = np.frombuffer(
+        b"".join(hashlib.md5(w.encode()).digest()[:8] for w in uniq),
+        dtype=np.uint64,
+    )
+    hs = hs_uniq[inv]
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+    signed = 2 * bits.astype(np.int64) - 1
+    nz = lens > 0
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
+    votes = np.add.reduceat(signed, starts, axis=0)  # one row per non-empty doc
+    fp = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nz] = fp.astype(np.int64)
     return pd.Series(out)
 
 
@@ -341,7 +381,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     exact popcount filter. Band join keeps this far from all-pairs."""
     sh = docs.select(
         "doc_id", simhash64_udf(F.col("text")).alias("sh")
-    ).cache()
+    ).localCheckpoint(eager=True)
     banded = sh.select(
         "doc_id", "sh",
         *[

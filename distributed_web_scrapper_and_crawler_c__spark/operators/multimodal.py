@@ -35,9 +35,11 @@ FEATURE_SCHEMA = (
 )
 
 
-def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes) matching
-    MEDIA_SCHEMA — stands in for a real ingestion of image/audio blobs."""
+def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
+    """Deterministic fake media rows (payload = seeded bytes) in
+    MEDIA_SCHEMA order. Pure Python — shared by the Spark table builder AND
+    the golden-constant oracle (the expected per-kind rollup is computable
+    without running Spark at all, because every byte is seed-derived)."""
     import random
 
     rows = []
@@ -52,7 +54,38 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 64 + i % 32, 64 + i % 16, (i % 7) * 1000,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA — stands in for
+    a real ingestion of image/audio blobs."""
+    return spark.createDataFrame(synthetic_media_rows(n, seed), MEDIA_SCHEMA)
+
+
+def synthetic_media_summary_rows(
+    n: int = 64, seed: int = 42, frame_stride_ms: int = 500
+) -> list[tuple]:
+    """The expected :func:`media_summary` output over
+    ``synthetic_media(n, seed)`` — computed in pure Python from the same
+    seeded rows (kind-ordered), for the driver's golden-constant oracle."""
+    per: dict[str, list[tuple]] = {}
+    for (mid, kind, payload, _m, _w, _h, dur) in synthetic_media_rows(n, seed):
+        frames = max(1, dur // frame_stride_ms) if kind == "video" else 1
+        per.setdefault(kind, []).append((len(payload), payload, frames))
+    out = []
+    for kind in sorted(per):
+        rows = per[kind]
+        out.append(
+            (
+                kind,
+                len(rows),
+                sum(r[0] for r in rows),
+                round(sum(r[2] for r in rows) / len(rows), 6),
+                len({hashlib.sha1(r[1]).hexdigest() for r in rows}),
+            )
+        )
+    return out
 
 
 def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:

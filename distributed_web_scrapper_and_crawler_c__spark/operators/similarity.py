@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _dot(a, b):
@@ -114,28 +114,69 @@ def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
     return bucket
 
 
+def lsh_probe_buckets_udf(dim: int, n_planes: int = 8, seed: int = 42,
+                          n_probes: int = 4):
+    """Multi-probe bucket list for the QUERY side: the query's own bucket
+    plus the buckets reached by flipping the sign of the ``n_probes - 1``
+    hyperplanes with the smallest |margin| (the planes the vector most
+    nearly straddles — the standard multi-probe LSH heuristic). A true
+    neighbor that landed just across one of those planes is recovered
+    without growing the corpus-side index at all."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probes(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        proj = m @ planes.T
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        base = ((proj > 0) @ weights).astype(np.int64)
+        # per-row planes sorted by |margin| ascending = flip order
+        order = np.argsort(np.abs(proj), axis=1)
+        flips = min(max(n_probes - 1, 0), n_planes)
+        out = [
+            [int(base[i])]
+            + [int(base[i] ^ (1 << int(order[i, j]))) for j in range(flips)]
+            for i in range(len(base))
+        ]
+        return pd.Series(out)
+
+    return probes
+
+
 def lsh_ann_topk(
     emb: DataFrame, dim: int, n_queries: int = 5, k: int = 10,
-    n_planes: int = 8, seed: int = 42,
+    n_planes: int = 8, seed: int = 42, n_probes: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane-sign
-    bucket. Recall < 1 by construction; the accompanying test measures it
-    against brute force. At corpus scale the bucket column is precomputed
-    and the corpus is partitioned by it, so a probe touches one partition."""
+    """Approximate top-k: candidates share one of the query's probe buckets
+    (its own hyperplane-sign bucket plus the ``n_probes - 1`` lowest-margin
+    single-bit flips — multi-probe lifts recall without touching the
+    corpus-side layout). Recall < 1 by construction; the accompanying test
+    measures it against brute force. At corpus scale the bucket column is
+    precomputed and the corpus is partitioned by it, so each probe touches
+    one partition and a query costs ``n_probes`` partition reads."""
     bucket = lsh_bucket_udf(dim, n_planes, seed)
+    probe = lsh_probe_buckets_udf(dim, n_planes, seed, n_probes)
     tagged = emb.withColumn("bucket", bucket(F.col("embedding")))
-    q = tagged.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        "bucket",
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(probe(F.col("embedding"))).alias("bucket"),
+        )
     )
-    scored = (
+    cands = (
         tagged.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
-        )
+        # a corpus vector can land in several of a query's probe buckets —
+        # dedup BEFORE scoring so the dot product runs once per pair
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id", "vec_id",
+        F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

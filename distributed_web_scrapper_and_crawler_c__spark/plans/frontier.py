@@ -47,7 +47,7 @@ from ..functions import expressions as X
 from ..functions import kernels as K
 from ..functions import udfs as U
 from . import bloom as BL
-from .seq import with_global_seq, with_prefix_sum
+from .seq import with_global_seq, with_grouped_rank, with_prefix_sum
 
 FRONTIER_SCHEMA = (
     "seq long, path string, url string, canonical string, host string, "
@@ -98,6 +98,7 @@ class CrawlEngine:
         robots_rules: DataFrame | None = None,
         bloom_shard_threshold: int = 5_000_000,
         use_expr_kernels: bool = True,
+        table_format=None,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -106,6 +107,13 @@ class CrawlEngine:
         self.host_budget = host_budget
         self.max_pages = max_pages
         self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
+        # checkpoint tables go through the table-format seam (SURVEY §4):
+        # parquet in this sandbox, Iceberg on a cluster — same write shape
+        if table_format is None:
+            from ..sources.table_format import ParquetAdapter
+
+            table_format = ParquetAdapter()
+        self.table_format = table_format
         self.use_bloom = use_bloom
         self.n_part = num_partitions or spark.sparkContext.defaultParallelism
         self.broadcast_threshold = broadcast_threshold
@@ -140,6 +148,10 @@ class CrawlEngine:
         self._bloom_bm = None
         self._bloom_m = 0
         self._bloom_shards: DataFrame | None = None
+        # full rebuilds of the bitmap from the whole seen-set (capacity
+        # growth or missing state); resume restores persisted state so its
+        # first round does NOT count one — asserted in tests
+        self.bloom_rebuilds = 0
         self.metrics: list[RoundMetrics] = []
         self.round_num = 0
         self.next_seq = 0
@@ -276,11 +288,13 @@ class CrawlEngine:
                     BL.build_shard_bitmaps(self.seen, "canonical", self._bloom_m)
                 )
                 self._bloom_bm = None
+                self.bloom_rebuilds += 1
             return
         if self._bloom_bm is None or n * 16 > self._bloom_m:
             self._bloom_m = BL._next_pow2(n * 32)  # headroom: rebuilds are rare
             bm, _ = BL.build_bloom(self.seen, "canonical", self._bloom_m)
             self._bloom_bm = np.frombuffer(bm, dtype=np.uint8).copy()
+            self.bloom_rebuilds += 1
 
     def _bloom_add(self, df: DataFrame, col: str, n_rows: int) -> None:
         import numpy as np
@@ -319,10 +333,21 @@ class CrawlEngine:
             _last[0] = now
 
         # --- dequeue under per-host politeness budget (Q2/Q8) -------------
+        # per-host rank via the two-phase grouped prefix-count (plans/seq.py):
+        # a per-host window would put a mega-host's whole frontier in ONE
+        # task — on the reference's single-host workload that is a global
+        # sort in disguise, exactly on the politeness path. The
+        # grouped-rank plan range-partitions on (host, seq) instead; only
+        # hosts spanning a partition boundary (≤ num_partitions of them)
+        # contribute driver-held offsets. Size-gated like every other
+        # prefix-sum in the engine.
         if self.host_budget is not None:
-            w = Window.partitionBy("host").orderBy("seq")
             slice_df = self._pin(
-                self.frontier.withColumn("_hrk", F.row_number().over(w))
+                with_grouped_rank(
+                    self.frontier, "host", ["seq"], rank_col="_hrk",
+                    num_partitions=self.n_part,
+                    approx_rows=self.frontier_size,
+                )
                 .filter(F.col("_hrk") <= self.host_budget)
                 .drop("_hrk")
             )
@@ -663,19 +688,27 @@ class CrawlEngine:
         if self.checkpoint_dir is None:
             return
         d = self.checkpoint_dir / f"r{self.round_num}"
-        self.frontier.write.mode("overwrite").parquet(str(d / "frontier"))
+        tf = self.table_format
+        tf.write(self.frontier, str(d / "frontier"))
         if self._seen_compacted:
             # an add_seed removed rows: older increments are stale, so this
             # snapshot carries the FULL seen-set and becomes the new base
-            self.seen.write.mode("overwrite").parquet(str(d / "seen_inc"))
+            tf.write(self.seen, str(d / "seen_inc"))
             self._seen_base_round = self.round_num
             self._seen_compacted = False
         else:
-            self._seen_parts[-1].write.mode("overwrite").parquet(
-                str(d / "seen_inc")
-            )
+            tf.write(self._seen_parts[-1], str(d / "seen_inc"))
         items_inc = self._item_parts[-1]
-        items_inc.write.mode("overwrite").parquet(str(d / "items_inc"))
+        tf.write(items_inc, str(d / "items_inc"))
+        # Bloom state rides along so resume never pays the O(seen) rebuild:
+        # the sharded layout as a table through the same seam, the driver
+        # bitmap as raw bytes next to state.json (it IS driver state)
+        if self.use_bloom and self._bloom_m:
+            if self._bloom_shards is not None:
+                tf.write(self._bloom_shards, str(d / "bloom_shards"))
+            elif self._bloom_bm is not None:
+                d.mkdir(parents=True, exist_ok=True)
+                (d / "bloom_bitmap.bin").write_bytes(self._bloom_bm.tobytes())
         state = {
             "round": self.round_num,
             "next_seq": self.next_seq,
@@ -683,6 +716,7 @@ class CrawlEngine:
             "items_count": self.items_count,
             "seen_count": self.seen_count,
             "seen_base_round": self._seen_base_round,
+            "bloom_m": self._bloom_m,
             "stopped": self.stopped,
             "metrics": [
                 {k: v for k, v in m.__dict__.items()} for m in self.metrics
@@ -717,18 +751,38 @@ class CrawlEngine:
             raise FileNotFoundError(f"no committed round 0 under {checkpoint_dir}")
         d = root / f"r{last}"
         eng = cls(spark, pages, checkpoint_dir=checkpoint_dir, **kw)
+        tf = eng.table_format
         state = json.loads((d / "state.json").read_text())
-        eng.frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(str(d / "frontier"))
+        eng.frontier = tf.read(spark, FRONTIER_SCHEMA, [str(d / "frontier")])
         # seen/items = union of the per-round increments (Iceberg-append
         # shape); increments before seen_base_round were compacted into that
         # round's snapshot by an add_seed removal
         seen_base = state.get("seen_base_round", 0)
-        eng.seen = spark.read.schema(SEEN_SCHEMA).parquet(
-            *[str(root / f"r{r}" / "seen_inc") for r in range(seen_base, last + 1)]
+        eng.seen = tf.read(
+            spark, SEEN_SCHEMA,
+            [str(root / f"r{r}" / "seen_inc") for r in range(seen_base, last + 1)],
         )
-        eng.items = spark.read.schema(ITEMS_SCHEMA).parquet(
-            *[str(root / f"r{r}" / "items_inc") for r in range(last + 1)]
+        eng.items = tf.read(
+            spark, ITEMS_SCHEMA,
+            [str(root / f"r{r}" / "items_inc") for r in range(last + 1)],
         )
+        # restore persisted Bloom state (written by _write_checkpoint) so the
+        # first post-resume round does NOT rebuild the bitmap from the full
+        # seen-set — one O(seen) job saved per resume
+        bloom_m = state.get("bloom_m", 0)
+        if eng.use_bloom and bloom_m:
+            import numpy as np
+
+            if tf.exists(str(d / "bloom_shards")):
+                eng._bloom_m = bloom_m
+                eng._bloom_shards = eng._pin(
+                    tf.read(spark, BL.SHARD_SCHEMA, [str(d / "bloom_shards")])
+                )
+            elif (d / "bloom_bitmap.bin").exists():
+                eng._bloom_m = bloom_m
+                eng._bloom_bm = np.frombuffer(
+                    (d / "bloom_bitmap.bin").read_bytes(), dtype=np.uint8
+                ).copy()
         eng._seen_parts = [eng.seen]
         eng._item_parts = [eng.items]
         eng.frontier_size = eng.frontier.count()

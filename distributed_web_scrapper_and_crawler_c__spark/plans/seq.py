@@ -101,6 +101,108 @@ def with_global_seq(
     return parted.mapInPandas(stamp, schema)
 
 
+def with_grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    rank_col: str = "_grk",
+    num_partitions: int | None = None,
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """``rank_col`` = 1-based rank of the row within its ``group_col`` group
+    in ``order_cols`` order — the per-host politeness rank (Q2/Q8) without a
+    per-group window: ``Window.partitionBy(host)`` puts a mega-host's ENTIRE
+    frontier in one task, which on a single-host workload degenerates into a
+    global single-partition sort. Instead the same two-phase machinery as
+    :func:`with_global_seq`, generalized to grouped keys:
+
+    1. range-partition on ``(group, *order)`` + sort within partitions (a
+       group therefore occupies a contiguous run of partitions);
+    2. per-(partition, group) counts — but only groups that SPAN a partition
+       boundary need cross-partition offsets, and a range partitioning can
+       split at most one group per boundary, so the driver collects at most
+       ``2 * num_partitions`` rows no matter how many groups exist;
+    3. ``mapInPandas`` stamps rank = broadcast offset + local running count.
+
+    ``(group_col, *order_cols)`` must be a unique key. ``approx_rows`` is the
+    same physical-plan-only size hint as in :func:`with_global_seq`: small
+    inputs take the one-shuffle per-group window fallback, identical values
+    either way.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if approx_rows is not None and approx_rows < SMALL_SEQ_ROWS:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(*order_cols)
+        return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(
+            n, F.col(group_col), *[F.col(c) for c in order_cols]
+        )
+        .sortWithinPartitions(group_col, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = parted.groupBy("_pid", group_col).agg(F.count("*").alias("cnt"))
+    spanning = (
+        counts.groupBy(group_col)
+        .agg(F.count("*").alias("n_pids"))
+        .filter(F.col("n_pids") > 1)
+        .select(group_col)
+    )
+    boundary = (
+        counts.join(spanning, group_col, "left_semi")
+        .select("_pid", group_col, "cnt")
+        .collect()
+    )
+    # exclusive per-group offset for each (pid, group) of a spanning group;
+    # groups contained in one partition are absent → offset 0
+    by_group: dict = {}
+    for r in boundary:
+        by_group.setdefault(r[group_col], []).append((r["_pid"], r["cnt"]))
+    offsets: dict = {}
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            offsets[(pid, g)] = acc
+            acc += cnt
+
+    schema = parted.drop("_pid").schema.add(rank_col, "long")
+    cols = [f.name for f in schema.fields]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def stamp(batches):
+        pid = None
+        carried: dict = {}  # group -> rows already stamped in this partition
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            out = pdf.drop(columns=["_pid"])
+            local = out.groupby(group_col, sort=False).cumcount().to_numpy()
+            groups = out[group_col].to_numpy()
+            base = np.fromiter(
+                (
+                    bc.value.get((pid, g), 0) + carried.get(g, 0)
+                    for g in groups
+                ),
+                dtype="int64",
+                count=len(groups),
+            )
+            out[rank_col] = base + local + 1
+            for g, c in out.groupby(group_col, sort=False).size().items():
+                carried[g] = carried.get(g, 0) + int(c)
+            yield pd.DataFrame(out, columns=cols)
+
+    return parted.mapInPandas(stamp, schema)
+
+
 def with_prefix_sum(
     df: DataFrame,
     order_cols: list[str],

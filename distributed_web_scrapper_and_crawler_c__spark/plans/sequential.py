@@ -158,7 +158,8 @@ def sequential_crawl(
     edge_df = next_edges(pages.select("url", "html")).localCheckpoint(
         eager=True
     )
-    if strategy == "auto":
+    auto = strategy == "auto"
+    if auto:
         strategy = (
             "distributed"
             if edge_df.count() >= DISTRIBUTED_EDGE_THRESHOLD
@@ -166,10 +167,21 @@ def sequential_crawl(
         )
 
     if strategy == "distributed":
-        chain_df = chain_indices_distributed(spark, edge_df, start_url)
-        if max_pages > 0:
-            chain_df = chain_df.filter(F.col("chain_idx") < max_pages)
-    else:
+        # binary lifting rejects pointer graphs with cycles or merging
+        # chains ANYWHERE in the edge table (even unreachable from start).
+        # Under 'auto' that is a plan choice, not an answer — fall back to
+        # the exact driver walk; an explicit strategy='distributed' request
+        # propagates the error so callers see why their plan was invalid.
+        try:
+            chain_df = chain_indices_distributed(spark, edge_df, start_url)
+        except ValueError:
+            if not auto:
+                raise
+            strategy = "driver"
+        else:
+            if max_pages > 0:
+                chain_df = chain_df.filter(F.col("chain_idx") < max_pages)
+    if strategy == "driver":
         edges = {r["url"]: r["next_url"] for r in edge_df.collect()}
         chain: list[str] = []
         cur = start_url

@@ -243,16 +243,18 @@ def _page_ts(spec: SiteSpec, kind: str, ident: int):
     """warc_ts is a pure function of page IDENTITY (kind, ident) — never of
     row position — so it is unique and identical no matter how generation is
     sliced. Details live at offset [0, n_books); hub pages in a dedicated
-    space at 20M + global hub id (root=0, listing n=n, category c after the
-    listings)."""
+    space immediately above them at n_books + global hub id (root=0,
+    listing n=n, category c after the listings) — derived from the spec so
+    the uniqueness invariant holds at ANY n_books, not only below a fixed
+    constant."""
     if kind == "detail":
         off = ident
     elif kind == "root":
-        off = 20_000_000
+        off = spec.n_books
     elif kind == "listing":
-        off = 20_000_000 + ident
+        off = spec.n_books + ident
     else:  # category
-        off = 20_000_000 + spec.n_listing_pages + 1 + ident
+        off = spec.n_books + spec.n_listing_pages + 1 + ident
     return EPOCH + timedelta(seconds=off)
 
 

@@ -95,14 +95,28 @@ def stream_ingest_books(
             .drop("_rn")
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
         )
-        # cross-batch dedup: anti-join vs the canonical urls already written
+        # cross-batch dedup: anti-join vs the canonical urls already written.
+        # Only the missing-path case (first batch: no state dir yet) is
+        # tolerated — any OTHER read failure (corrupt file, transient FS
+        # error) must propagate, or dedup would silently switch off and
+        # duplicates would be appended. At corpus scale the state side wants
+        # a layout bucketed by canonical_url so each micro-batch's anti-join
+        # prunes to matching buckets instead of rescanning the full table.
+        from pyspark.errors import AnalysisException
+
         try:
             seen = spark.read.schema(BOOKS_SCHEMA).parquet(out_dir).select(
                 "canonical_url"
             )
+        except AnalysisException as e:
+            if (
+                "PATH_NOT_FOUND" not in str(e)
+                and "Path does not exist" not in str(e)
+            ):
+                raise
+            seen = None  # first batch: no state dir yet
+        if seen is not None:
             books = books.join(seen, "canonical_url", "left_anti")
-        except Exception:
-            pass  # first batch: no state yet
         books.select(
             "title", "price", "rating", "url", "canonical_url",
             "price_value", "rating_value", "batch_id",

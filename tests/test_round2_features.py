@@ -171,9 +171,11 @@ def test_prefix_sum_two_phase_matches_window(spark):
 
 
 def test_no_ungated_global_window_in_plans():
-    """Plan invariant (VERDICT r1 task 6): no Window.orderBy without a
-    partitionBy in plans/ outside seq.py's size-gated small-input
-    fallbacks."""
+    """Plan invariant (VERDICT r1 task 6 + r2 task 2): no Window.orderBy
+    without a partitionBy in plans/ outside seq.py's size-gated small-input
+    fallbacks, and no per-host window on the dequeue path either — a
+    Window.partitionBy("host") puts a mega-host's entire frontier in one
+    task, a global sort in disguise on the politeness path."""
     plans = Path(__file__).resolve().parent.parent / (
         "distributed_web_scrapper_and_crawler_c__spark/plans"
     )
@@ -183,11 +185,65 @@ def test_no_ungated_global_window_in_plans():
         for m in re.finditer(r"Window\.orderBy\(", src):
             if py.name != "seq.py":
                 offenders.append(f"{py.name}:{src[:m.start()].count(chr(10)) + 1}")
+        if py.name == "frontier.py":
+            for m in re.finditer(r"Window\.partitionBy\(\s*[\"']host", src):
+                offenders.append(
+                    f"{py.name}:{src[:m.start()].count(chr(10)) + 1} (host window)"
+                )
     assert not offenders, f"ungated global windows: {offenders}"
     # and the two in seq.py are exactly the documented size-gated fallbacks
     seq_src = (plans / "seq.py").read_text()
     assert seq_src.count("Window.orderBy(") == 2
     assert seq_src.count("SMALL_SEQ_ROWS") >= 3  # constant + two gates
+
+
+def test_grouped_rank_two_phase_matches_window(spark):
+    """with_grouped_rank's scalable path (range-partition + boundary-host
+    offsets) must agree with the per-group window fallback — including on a
+    skewed mega-host that spans many range partitions."""
+    from distributed_web_scrapper_and_crawler_c__spark.plans.seq import (
+        with_grouped_rank,
+    )
+
+    rows = [(f"h{i % 5}" if i % 3 else "mega.example", i) for i in range(701)]
+    df = spark.createDataFrame(rows, "host string, seq long")
+    small = {
+        (r["host"], r["seq"]): r["_grk"]
+        for r in with_grouped_rank(
+            df, "host", ["seq"], approx_rows=10
+        ).collect()
+    }
+    big = {
+        (r["host"], r["seq"]): r["_grk"]
+        for r in with_grouped_rank(
+            df, "host", ["seq"], num_partitions=16
+        ).collect()
+    }
+    assert small == big
+    # exact per-host FIFO semantics: rank is 1-based, dense, in seq order
+    per_host: dict = {}
+    for (h, s) in sorted(small, key=lambda t: t[1]):
+        per_host.setdefault(h, 0)
+        per_host[h] += 1
+        assert small[(h, s)] == per_host[h]
+
+
+def test_budgeted_crawl_uses_grouped_rank_scale_path(spark, pages, pages_map):
+    """The budgeted dequeue stays byte-exact when forced onto the two-phase
+    grouped-rank plan (approx_rows gate bypassed via a tiny SMALL_SEQ_ROWS)."""
+    from distributed_web_scrapper_and_crawler_c__spark.plans import seq as seq_mod
+
+    old = seq_mod.SMALL_SEQ_ROWS
+    seq_mod.SMALL_SEQ_ROWS = 0  # force the scalable path at test scale
+    try:
+        eng = CrawlEngine(spark, pages, host_budget=3)
+        eng.record_dequeues = True
+        eng.run("/catalogue/page-1.html")
+    finally:
+        seq_mod.SMALL_SEQ_ROWS = old
+    res = crawl_oracle.crawl(pages_map, host_budget=3)
+    assert eng.crawl_order() == res.crawl_order
+    assert {r["canonical"] for r in eng.seen.collect()} == res.processed
 
 
 # ------------------------------------------------- metrics / status / robots
