@@ -929,6 +929,212 @@ def _sequential_golden(
 
 
 # ---------------------------------------------------------------------------
+# independent pure-Python golden oracles for the non-SQL kernels
+#
+# The driver's correctness gate runs at sf=0.01 over the fixed testdata, so
+# the pandas-UDF queries (winnowing fingerprints, SimHash pairs, LSH-ANN,
+# LSH-blocked embedding near-dup) ALSO have computable expected outputs.
+# Each helper below is an INDEPENDENT reimplementation of the operator's
+# spec — classic O(n) rolling hash vs the UDF's matrix form, np.unpackbits
+# vs the UDF's shift matrix, per-bucket nested loops vs the engine's joins —
+# so agreement checks the Spark plumbing (joins, dedup, ranking, banding),
+# not one code path against itself.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's gate runs at sf=0.01
+
+
+def _round_half_up6(x: float) -> float:
+    """Spark's ROUND(x, 6) semantics (HALF_UP, away from zero) — Python's
+    round() is half-even and would diverge at exact .5e-6 ties."""
+    import math
+
+    s = -1.0 if x < 0 else 1.0
+    return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+
+@functools.lru_cache(maxsize=None)
+def _docs_rows() -> tuple:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tuple(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _emb_matrix():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    return ids, m
+
+
+@functools.lru_cache(maxsize=None)
+def _fingerprint_golden(k: int = 5, w: int = 4) -> tuple:
+    """Winnowing (doc_id, n_hashes) via the textbook O(n) rolling update —
+    not the UDF's power-matrix multiply."""
+    M = 1 << 64
+    B = 1_000_003
+    rows = []
+    for doc_id, t in _docs_rows():
+        if not t or len(t) < k:  # quirk preserved: gate on CHAR length
+            rows.append((doc_id, 0))
+            continue
+        b = t.lower().encode("utf-8", "replace")
+        n = len(b) - k + 1
+        h = 0
+        for c in b[:k]:
+            h = (h * B + c) % M
+        hashes = [h]
+        top = pow(B, k - 1, M)
+        for i in range(1, n):
+            h = ((h - b[i - 1] * top) * B + b[i + k - 1]) % M
+            hashes.append(h)
+        if n <= w:
+            sel = {min(hashes)}
+        else:
+            sel = set()
+            for i in range(n - w + 1):
+                win = hashes[i : i + w]
+                m0 = min(win)
+                sel.add(win[w - 1 - win[::-1].index(m0)])  # rightmost min
+        rows.append((doc_id, len(sel)))
+    return tuple(rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _simhash_golden(max_hamming: int = 3) -> tuple:
+    """All-pairs SimHash Hamming ≤ max_hamming — exact nested loop (the
+    banded join's pigeonhole guarantee says Spark must find exactly these).
+    Fingerprints via np.unpackbits, not the UDF's shift matrix."""
+    import hashlib
+
+    import numpy as np
+
+    ids, fps = [], []
+    for doc_id, t in _docs_rows():
+        toks = t.lower().split() if t else []
+        if not toks:
+            ids.append(doc_id)
+            fps.append(0)
+            continue
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+                for w in toks
+            ],
+            dtype=np.uint64,
+        )
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        votes = bits.astype(np.int64).sum(axis=0) * 2 - len(toks)
+        fp = 0
+        for j in range(64):
+            if votes[j] > 0:
+                fp |= 1 << j
+        ids.append(doc_id)
+        fps.append(fp)
+    rows = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if d <= max_hamming:
+                i, j = sorted((ids[a], ids[b]))
+                rows.append((i, j, d))
+    return tuple(rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _ann_lsh_golden(
+    n_queries: int = 5, k: int = 10, n_planes: int = 8, seed: int = 42,
+    n_probes: int = 4,
+) -> tuple:
+    """Multi-probe LSH-ANN top-k — per-query nested loops over a bucket
+    membership dict, vs the engine's explode + broadcast join + window."""
+    import numpy as np
+
+    ids, m = _emb_matrix()
+    md = m.astype(np.float64)
+    planes = np.random.RandomState(seed).standard_normal((n_planes, md.shape[1]))
+    proj = md @ planes.T
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    buckets = ((proj > 0) @ weights).astype(np.int64)
+    norms = np.sqrt((md * md).sum(axis=1))
+    flips = min(max(n_probes - 1, 0), n_planes)
+    rows = []
+    for qi in np.where(ids < n_queries)[0]:
+        order = np.argsort(np.abs(proj[qi]))
+        probe = {int(buckets[qi])} | {
+            int(buckets[qi] ^ (1 << int(order[j]))) for j in range(flips)
+        }
+        scored = [
+            (
+                int(ids[ci]),
+                _round_half_up6(
+                    float(md[qi] @ md[ci] / (norms[qi] * norms[ci]))
+                ),
+            )
+            for ci in range(len(ids))
+            if int(buckets[ci]) in probe and ids[ci] != ids[qi]
+        ]
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for r, (vid, cos) in enumerate(scored[:k], 1):
+            rows.append((int(ids[qi]), vid, cos, r))
+    return tuple(rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _embedding_near_dup_lsh_golden(
+    threshold: float = 0.9, n_planes: int = 6, seed: int = 7
+) -> tuple:
+    """LSH-blocked embedding near-dup pairs over the augmented fixture —
+    per-bucket nested loops + set union across the two plane sets, vs the
+    engine's bucket self-joins."""
+    import numpy as np
+
+    ids, m = _emb_matrix()
+    bids = ids[ids < 200]
+    bm = m[ids < 200]
+    # same augmentation as _augmented_emb: x * 1.01 in double, cast to float
+    dm = (m[ids < 100].astype(np.float64) * 1.01).astype(np.float32)
+    dids = ids[ids < 100] + 10000
+    aids = np.concatenate([bids, dids])
+    am = np.concatenate([bm, dm]).astype(np.float64)
+    pair_set = set()
+    for s in (seed, seed + 1):
+        planes = np.random.RandomState(s).standard_normal((n_planes, am.shape[1]))
+        w = (1 << np.arange(n_planes)).astype(np.int64)
+        bk = (((am @ planes.T) > 0) @ w).astype(np.int64)
+        for b in np.unique(bk):
+            mem = np.where(bk == b)[0]
+            for x in range(len(mem)):
+                for y in range(x + 1, len(mem)):
+                    i, j = int(aids[mem[x]]), int(aids[mem[y]])
+                    if i != j:
+                        pair_set.add((min(i, j), max(i, j)))
+    norms = np.sqrt((am * am).sum(axis=1))
+    idx = {int(a): t for t, a in enumerate(aids)}
+    rows = []
+    for (i, j) in sorted(pair_set):
+        cos = _round_half_up6(
+            float(am[idx[i]] @ am[idx[j]] / (norms[idx[i]] * norms[idx[j]]))
+        )
+        if cos >= threshold:
+            rows.append((i, j, cos))
+    return tuple(rows)
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB; views pre-registered)
 # ---------------------------------------------------------------------------
 
@@ -1292,7 +1498,34 @@ FROM embeddings GROUP BY label
         ],
     )
 
-    # rows-only (no oracle): dedup_simhash, ann_lsh_topk, doc_fingerprints —
-    # non-SQL-expressible pandas-UDF kernels, exactness covered by pytest
-    # (planted-pair blocking guarantees, measured recall, golden crawls).
+    # ---- independent-reimplementation golden oracles for the non-SQL
+    # kernels (see helpers above): computed over the same fixed sf0.01
+    # testdata the driver's gate reads, emitted as literal SELECTs ----
+
+    o["doc_fingerprints"] = _literal_select(
+        list(_fingerprint_golden()),
+        [("doc_id", "BIGINT"), ("n_hashes", "INTEGER")],
+    )
+    o["dedup_simhash"] = _literal_select(
+        list(_simhash_golden(max_hamming=3)),
+        [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("hamming", "INTEGER")],
+    )
+    o["ann_lsh_topk"] = _literal_select(
+        list(_ann_lsh_golden()),
+        [
+            ("query_id", "BIGINT"),
+            ("vec_id", "BIGINT"),
+            ("cosine", "DOUBLE"),
+            ("rank", "INTEGER"),
+        ],
+    )
+    o["embedding_near_dup_lsh"] = _literal_select(
+        list(_embedding_near_dup_lsh_golden()),
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine", "DOUBLE")],
+    )
+
+    # every queries() entry now has an oracle_sql() twin: SQL-expressible
+    # operators get independent DuckDB SQL; deterministic crawl state gets
+    # golden constants from the Python crawl oracle; the pandas-UDF kernels
+    # get golden constants from independent pure-Python reimplementations.
     return o

@@ -129,7 +129,6 @@ def with_grouped_rank(
     inputs take the one-shuffle per-group window fallback, identical values
     either way.
     """
-    import numpy as np
     import pandas as pd
 
     if approx_rows is not None and approx_rows < SMALL_SEQ_ROWS:
@@ -186,15 +185,12 @@ def with_grouped_rank(
                 pid = int(pdf["_pid"].iloc[0])
             out = pdf.drop(columns=["_pid"])
             local = out.groupby(group_col, sort=False).cumcount().to_numpy()
-            groups = out[group_col].to_numpy()
-            base = np.fromiter(
-                (
-                    bc.value.get((pid, g), 0) + carried.get(g, 0)
-                    for g in groups
-                ),
-                dtype="int64",
-                count=len(groups),
-            )
+            # per-GROUP base lookup (distinct groups per batch, not per row)
+            comb = {
+                g: bc.value.get((pid, g), 0) + carried.get(g, 0)
+                for g in out[group_col].unique()
+            }
+            base = out[group_col].map(comb).to_numpy(dtype="int64")
             out[rank_col] = base + local + 1
             for g, c in out.groupby(group_col, sort=False).size().items():
                 carried[g] = carried.get(g, 0) + int(c)
