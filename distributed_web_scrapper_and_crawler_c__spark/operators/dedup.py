@@ -345,33 +345,46 @@ FROM exact e JOIN cands c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
 def simhash64_udf(text: pd.Series) -> pd.Series:
     """64-bit SimHash: md5-derived 64-bit hash per whitespace token,
     bitwise majority vote. Vectorized ACROSS the batch: tokens of all docs
-    are flattened, each *distinct* token is md5-hashed exactly once, the
-    bit-unpack + signed vote runs as one numpy pass, and per-doc vote sums
-    come from ``np.add.reduceat`` over the flat token run — no per-doc
-    Python loop, no repeated hashing of common tokens."""
+    are flattened, each *distinct* token is md5-hashed exactly once, bits
+    are expanded with ``np.unpackbits`` (uint8 — 64× smaller than a naive
+    int64 shift matrix, which balloons to GBs on token-heavy batches), and
+    per-doc one-counts come from ``np.add.reduceat`` over the flat token
+    run. Docs are processed in bounded-token chunks so peak memory stays
+    ~chunk×64 int32 regardless of batch size."""
     import hashlib
 
     out = np.zeros(len(text), dtype=np.int64)
     tok_lists = [t.lower().split() if t else [] for t in text]
     lens = np.array([len(l) for l in tok_lists], dtype=np.int64)
-    flat = [w for l in tok_lists for w in l]
-    if not flat:
+    if lens.sum() == 0:
         return pd.Series(out)
-    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    uniq, uidx = np.unique(
+        np.array([w for l in tok_lists for w in l], dtype=object),
+        return_inverse=True,
+    )
     hs_uniq = np.frombuffer(
         b"".join(hashlib.md5(w.encode()).digest()[:8] for w in uniq),
         dtype=np.uint64,
     )
-    hs = hs_uniq[inv]
-    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-    signed = 2 * bits.astype(np.int64) - 1
-    nz = lens > 0
-    starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
-    votes = np.add.reduceat(signed, starts, axis=0)  # one row per non-empty doc
-    fp = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-        axis=1, dtype=np.uint64
+    # bit j of the hash == unpacked little-endian bit j (little-endian view)
+    bits_uniq = np.unpackbits(
+        hs_uniq.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     )
-    out[nz] = fp.astype(np.int64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    # per-doc vote: a tiny (n_tokens, 64) gather + one sum. Deliberately NOT
+    # one huge (total_tokens, 64) matrix: that allocates O(batch) memory and
+    # large fresh allocations stall badly under memory pressure, while these
+    # per-doc temporaries stay cache-sized. The batch-level win is above:
+    # each DISTINCT token is hashed exactly once for the whole batch.
+    ends = np.cumsum(lens)
+    for i, (s, e) in enumerate(zip(ends - lens, ends)):
+        if s == e:
+            continue
+        ones = bits_uniq[uidx[s:e]].sum(axis=0, dtype=np.int64)
+        fp = ((2 * ones - (e - s) > 0).astype(np.uint64) * weights).sum(
+            dtype=np.uint64
+        )
+        out[i] = np.int64(fp.astype(np.int64))
     return pd.Series(out)
 
 
