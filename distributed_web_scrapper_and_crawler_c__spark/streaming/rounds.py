@@ -67,6 +67,7 @@ def stream_ingest_books(
     source_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    n_buckets: int = 0,
 ) -> None:
     """Consume all currently-available page files from ``source_dir`` (a
     parquet drop directory with the pages schema), parse books, dedup by
@@ -76,7 +77,15 @@ def stream_ingest_books(
     Runs with ``trigger(availableNow=True)``: drains what exists, then
     stops; re-invoking picks up only NEW files (source offsets live in
     ``checkpoint_dir``), so repeated calls implement the reference's
-    continuous ingest loop one drain at a time."""
+    continuous ingest loop one drain at a time.
+
+    ``n_buckets > 0`` switches the state table to a BUCKETED layout:
+    ``out_dir`` is partitioned by ``bucket = pmod(xxhash64(canonical_url),
+    n_buckets)`` and each micro-batch's anti-join reads ONLY the buckets
+    its own canonicals hash into (partition pruning via an ``isin`` filter
+    on the partition column) — at corpus scale the per-batch state scan is
+    bounded by the batch's bucket fan-out instead of the full history.
+    ``n_buckets = 0`` keeps the flat layout."""
 
     stream = (
         spark.readStream.schema("url string, html binary")
@@ -95,19 +104,35 @@ def stream_ingest_books(
             .drop("_rn")
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
         )
+        if n_buckets > 0:
+            books = books.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("canonical_url"), F.lit(n_buckets)).cast("int"),
+            ).localCheckpoint(eager=True)  # bucket set + join read it once
         # cross-batch dedup: anti-join vs the canonical urls already written.
         # Only the missing-path case (first batch: no state dir yet) is
         # tolerated — any OTHER read failure (corrupt file, transient FS
         # error) must propagate, or dedup would silently switch off and
-        # duplicates would be appended. At corpus scale the state side wants
-        # a layout bucketed by canonical_url so each micro-batch's anti-join
-        # prunes to matching buckets instead of rescanning the full table.
+        # duplicates would be appended.
         from pyspark.errors import AnalysisException
 
         try:
-            seen = spark.read.schema(BOOKS_SCHEMA).parquet(out_dir).select(
-                "canonical_url"
-            )
+            if n_buckets > 0:
+                # bucketed state: prune the scan to the batch's own buckets
+                # (isin on the partition column prunes directories)
+                batch_buckets = [
+                    r["bucket"] for r in books.select("bucket").distinct().collect()
+                ]
+                seen = (
+                    spark.read.parquet(out_dir)
+                    .filter(F.col("bucket").isin(batch_buckets))
+                    .select("canonical_url")
+                )
+                seen.schema  # force analysis: missing path surfaces HERE
+            else:
+                seen = spark.read.schema(BOOKS_SCHEMA).parquet(out_dir).select(
+                    "canonical_url"
+                )
         except AnalysisException as e:
             if (
                 "PATH_NOT_FOUND" not in str(e)
@@ -117,10 +142,16 @@ def stream_ingest_books(
             seen = None  # first batch: no state dir yet
         if seen is not None:
             books = books.join(seen, "canonical_url", "left_anti")
-        books.select(
+        out_cols = [
             "title", "price", "rating", "url", "canonical_url",
             "price_value", "rating_value", "batch_id",
-        ).write.mode("append").parquet(out_dir)
+        ]
+        if n_buckets > 0:
+            books.select(*out_cols, "bucket").write.mode("append").partitionBy(
+                "bucket"
+            ).parquet(out_dir)
+        else:
+            books.select(*out_cols).write.mode("append").parquet(out_dir)
 
     q = (
         stream.writeStream.foreachBatch(process)
