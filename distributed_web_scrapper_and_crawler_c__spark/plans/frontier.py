@@ -47,7 +47,12 @@ from ..functions import expressions as X
 from ..functions import kernels as K
 from ..functions import udfs as U
 from . import bloom as BL
-from .seq import with_global_seq, with_grouped_rank, with_prefix_sum
+from .seq import (
+    SMALL_SEQ_ROWS,
+    with_global_seq,
+    with_grouped_rank,
+    with_prefix_sum,
+)
 
 FRONTIER_SCHEMA = (
     "seq long, path string, url string, canonical string, host string, "
@@ -438,11 +443,22 @@ class CrawlEngine:
                 ),
                 F.lit(0),
             ).alias("n_ignored"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("books").isNotNull(), F.size("books")
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_books"),
         ).collect()
         part_counts = {r["_pid"]: r["cnt"] for r in stats}
         n_hits = sum(part_counts.values())
         n_extracted = sum(r["n_links"] for r in stats)
         n_ignored = sum(r["n_ignored"] for r in stats)
+        # pre-dedup book total: physical-plan size hint for the seq stage
+        # (a wrong hint never changes values, only which plan computes them)
+        n_books_upper = sum(r["n_books"] for r in stats)
         if self.record_dequeues:
             hit_seqs = {r["seq"] for r in parsed.select("seq").collect()}
             for r in popped.select("seq", "path").orderBy("seq").collect():
@@ -470,33 +486,38 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # heavy per-row projections run HERE, in parallel, before seq
-        # assignment (seq needs only the order key; putting UDF work after
-        # it would serialize into the seq stage's partitions)
-        fresh = self._pin(
-            fresh.select(
-                "parent_seq", "book_rank", "url", "canonical_url",
-                "title", "price", "rating",
-                self._price_col("price").alias("price_value"),
-                X.rating_value_expr(F.col("rating")).alias("rating_value"),
-                X.classify_item_type_expr(X.url_host_expr(F.col("url"))).alias(
-                    "item_type"
-                ),
-                F.lit(self.round_num).alias("round"),
-            )
+        # size-adaptive materialization: on SMALL rounds (the seq stage's
+        # one-shuffle window path) the books flow materializes exactly once
+        # — the final pin — because the per-round fixed cost of an extra
+        # block-manager write dominates there. On BIG rounds the two-phase
+        # seq path's repartitionByRange SAMPLES its input, which would
+        # recompute this UDF-heavy plan twice — so the projection is pinned
+        # first, exactly as seq.py's contract asks. The size hint comes from
+        # the pre-dedup book total already in the parse stats (no count job).
+        fresh = fresh.select(
+            "parent_seq", "book_rank", "url", "canonical_url",
+            "title", "price", "rating",
+            self._price_col("price").alias("price_value"),
+            X.rating_value_expr(F.col("rating")).alias("rating_value"),
+            X.classify_item_type_expr(X.url_host_expr(F.col("url"))).alias(
+                "item_type"
+            ),
+            F.lit(self.round_num).alias("round"),
         )
-        new_item_count = fresh.count()
+        if n_books_upper >= SMALL_SEQ_ROWS:
+            fresh = self._pin(fresh)
         new_items = self._pin(
             with_global_seq(
                 fresh, ["parent_seq", "book_rank"], start=self.items_count,
                 seq_col="item_seq", num_partitions=self.n_part,
-                approx_rows=new_item_count,
+                approx_rows=n_books_upper,
             ).select(
                 "item_seq", "parent_seq", "book_rank", "url", "canonical_url",
                 "title", "price", "rating", "price_value", "rating_value",
                 "item_type", "round",
             )
         )
+        new_item_count = new_items.count()  # cheap: reads the pinned blocks
         self._item_parts.append(new_items)
         self.items = self.items.unionByName(new_items)  # lazy over pinned parts
         self.items_count += new_item_count
@@ -600,26 +621,29 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn", "link")
         )
-        # same pin-then-number pattern as items: projections in parallel,
-        # the seq stage moves only final columns
-        firsts = self._pin(
-            firsts.select(
-                "path", "url", "canonical",
-                X.url_host_expr(F.col("url")).alias("host"),
-                "parent_seq", "link_rank",
-                F.lit(self.round_num + 1).alias("round_added"),
-            )
+        # same size-adaptive pattern as items: single materialization on
+        # small rounds, projection pinned first on big rounds (the two-phase
+        # seq path samples its input); the size hint is the post-robots
+        # candidate count already in hand — never an extra count job
+        firsts = firsts.select(
+            "path", "url", "canonical",
+            X.url_host_expr(F.col("url")).alias("host"),
+            "parent_seq", "link_rank",
+            F.lit(self.round_num + 1).alias("round_added"),
         )
-        n_new = firsts.count()
+        n_links_upper = n_kept_expected - n_robots_blocked
+        if n_links_upper >= SMALL_SEQ_ROWS:
+            firsts = self._pin(firsts)
         new_frontier = self._pin(
             with_global_seq(
                 firsts, ["parent_seq", "link_rank"], start=self.next_seq,
-                num_partitions=self.n_part, approx_rows=n_new,
+                num_partitions=self.n_part, approx_rows=n_links_upper,
             ).select(
                 "seq", "path", "url", "canonical", "host",
                 "parent_seq", "link_rank", "round_added",
             )
         )
+        n_new = new_frontier.count()  # cheap: reads the pinned blocks
         self.next_seq += n_new
         mark("dedup_seq")
 
