@@ -16,9 +16,11 @@ crawl_worker_totals, crawl_sequential, multimodal_synthetic) carry
 GOLDEN-CONSTANT oracles: the pure-Python crawl/sequential oracles (which
 are differential-tested against the compiled reference) compute the
 expected outputs over the seeded corpora and emit them as literal SELECTs.
-Only the genuinely non-SQL-expressible kernels (SimHash, winnowing
-fingerprints, LSH-ANN) remain rows-only; their exactness is covered by the
-pytest suite (planted-pair guarantees, measured recall, golden crawls).
+The non-SQL-expressible kernels (SimHash, winnowing fingerprints, LSH-ANN,
+LSH near-dup) are value-checked too, via independent pure-Python golden
+reimplementations over the fixed sf0.01 testdata (different algorithms
+than the engine — see the oracle helpers at the bottom of this file);
+since round 3 every entry in queries() has an oracle_sql() twin.
 """
 
 from __future__ import annotations
@@ -638,7 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_dup_pipeline"] = near_dup_pipeline
 
-    def dedup_simhash(spark, sf):  # rows-only (pandas-UDF kernel)
+    def dedup_simhash(spark, sf):  # oracle: independent all-pairs numpy golden
         # max_hamming=3 — the largest distance the 4×16-bit band blocking
         # pigeonhole-guarantees full recall for (dedup.py simhash docstring).
         return DD.simhash_near_dups(_t(spark, sf, "documents"), max_hamming=3)
@@ -684,7 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dup_exact"] = embedding_near_dup_exact
 
-    def embedding_near_dup_lsh(spark, sf):  # rows-only; recall in pytest
+    def embedding_near_dup_lsh(spark, sf):  # oracle: per-bucket numpy golden
         return SIM.embedding_cosine_near_dups(
             _augmented_emb(spark, sf), threshold=0.9
         ).select("id_a", "id_b", "cosine")
@@ -736,14 +738,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_langid"] = text_langid
 
-    def doc_fingerprints(spark, sf):  # rows-only (imperative rolling hash)
+    def doc_fingerprints(spark, sf):  # oracle: textbook rolling-hash golden
         return TS.fingerprints(_t(spark, sf, "documents")).select(
             "doc_id", F.size("fingerprint").alias("n_hashes")
         )
 
     q["doc_fingerprints"] = doc_fingerprints
 
-    # ---- crawl summary metrics, A6 (rows-only; values from a real crawl) ----
+    # ---- crawl summary metrics, A6 (golden-constant oracle from the
+    # differential-tested pure-Python crawl oracle) ----
 
     def crawl_summary(spark, sf):
         from distributed_web_scrapper_and_crawler_c__spark.plans.frontier import (
@@ -756,12 +759,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         eng = CrawlEngine(spark, pages).run("/catalogue/page-1.html")
         # A6 (Crawler.cpp:303-314): end-of-run totals over per-round metrics.
         # metrics_df is per (round, partition) — collapse to rounds first.
+        # F.max, not F.first: the values are constant per round (one
+        # metrics row per (round, partition) repeats the round totals), and
+        # max makes that invariant deterministic by construction.
         per_round = eng.metrics_df().groupBy("round").agg(
-            F.first("urls_fetched").alias("urls_fetched"),
-            F.first("links_new").alias("links_new"),
-            F.first("links_dup").alias("links_dup"),
-            F.first("links_ignored").alias("links_ignored"),
-            F.first("books_found").alias("books_found"),
+            F.max("urls_fetched").alias("urls_fetched"),
+            F.max("links_new").alias("links_new"),
+            F.max("links_dup").alias("links_dup"),
+            F.max("links_ignored").alias("links_ignored"),
+            F.max("books_found").alias("books_found"),
         )
         return per_round.agg(
             F.sum("urls_fetched").alias("pages_crawled"),
@@ -774,7 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_summary"] = crawl_summary
 
-    # ---- sequential crawl strategy (rows-only; golden-tested) ----
+    # ---- sequential crawl strategy (golden-constant oracle) ----
 
     def crawl_sequential(spark, sf):
         from distributed_web_scrapper_and_crawler_c__spark.plans.sequential import (
@@ -798,13 +804,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = multimodal_features
 
-    def multimodal_synthetic(spark, sf):  # rows-only: random-payload table
+    def multimodal_synthetic(spark, sf):  # oracle: golden-constant rollup
         media = MM.synthetic_media(spark, n=64)
         return MM.media_summary(MM.extract_features(media))
 
     q["multimodal_synthetic"] = multimodal_synthetic
 
-    # ---- S6 status view + A1-A3 over real crawl metrics (rows-only) ----
+    # ---- S6 status view + A1-A3 over real crawl metrics
+    # (golden-constant oracles) ----
 
     def status_snapshot(spark, sf):
         from distributed_web_scrapper_and_crawler_c__spark.plans.frontier import (
@@ -837,8 +844,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest, where the engine's own partitioning is in scope.)
         from pyspark.sql import Window
 
+        # F.max, not F.first: urls_fetched is constant per round; max is
+        # deterministic by construction where first is documented not to be.
         m = eng.metrics_df().groupBy("round").agg(
-            F.first("urls_fetched").alias("urls_fetched")
+            F.max("urls_fetched").alias("urls_fetched")
         )
         w = Window.orderBy("round").rowsBetween(Window.unboundedPreceding, 0)
         return m.select(
@@ -876,6 +885,14 @@ def _sql_lit(v, typ: str) -> str:
 
 
 def _literal_select(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    if not rows:
+        # typed zero-row SELECT — an empty UNION ALL chain would be
+        # invalid SQL, and the schema must still match the Spark side
+        return (
+            "SELECT "
+            + ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+            + " WHERE FALSE"
+        )
     sels = [
         "SELECT "
         + ", ".join(f"{_sql_lit(v, t)} AS {n}" for (n, t), v in zip(cols, row))
@@ -951,12 +968,40 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's gate runs at sf=0.01
 
 
 def _round_half_up6(x: float) -> float:
-    """Spark's ROUND(x, 6) semantics (HALF_UP, away from zero) — Python's
-    round() is half-even and would diverge at exact .5e-6 ties."""
+    """Spark's ROUND(x, 6) semantics on DoubleType: BigDecimal.valueOf
+    (i.e. the decimal *string* repr of the double — Python repr matches
+    Double.toString's round-trip repr) quantized HALF_UP at scale 6.
+    Python's round() is half-even and a binary floor(x*1e6+0.5) re-rounds
+    in binary; both can diverge from Spark at knife-edge ties."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _fold_dot(a, b) -> float:
+    """Dot product with the engine's exact summation order: a sequential
+    left fold of acc + x*y over per-element float→double widenings —
+    matching similarity._dot's F.aggregate(F.zip_with(...)) so the golden
+    double is bit-identical to Spark's, not numpy's pairwise-summed dot."""
+    s = 0.0
+    for x, y in zip(a.tolist(), b.tolist()):
+        s += x * y
+    return s
+
+
+def _fold_norm(a) -> float:
+    """L2 norm with similarity._norm's fold order (sqrt of sequential
+    sum of squares)."""
     import math
 
-    s = -1.0 if x < 0 else 1.0
-    return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+    s = 0.0
+    for x in a.tolist():
+        s += x * x
+    return math.sqrt(s)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1075,7 +1120,9 @@ def _ann_lsh_golden(
     proj = md @ planes.T
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     buckets = ((proj > 0) @ weights).astype(np.int64)
-    norms = np.sqrt((md * md).sum(axis=1))
+    # cosines via the engine's exact fold order over the raw float32 rows
+    # (numpy's pairwise dot could differ in the last ulp → 6th-decimal tie)
+    norms = np.array([_fold_norm(m[i]) for i in range(len(ids))])
     flips = min(max(n_probes - 1, 0), n_planes)
     rows = []
     for qi in np.where(ids < n_queries)[0]:
@@ -1087,7 +1134,7 @@ def _ann_lsh_golden(
             (
                 int(ids[ci]),
                 _round_half_up6(
-                    float(md[qi] @ md[ci] / (norms[qi] * norms[ci]))
+                    _fold_dot(m[qi], m[ci]) / (norms[qi] * norms[ci])
                 ),
             )
             for ci in range(len(ids))
@@ -1120,7 +1167,8 @@ def _ann_ivf_golden(
     cents = ivf_centroids(md[:sample], n_cells, seed=seed)
     c_sq = (cents * cents).sum(axis=1)
     cells = (c_sq[None, :] - 2.0 * (md @ cents.T)).argmin(axis=1)
-    norms = np.sqrt((md * md).sum(axis=1))
+    # cosines via the engine's exact fold order (see _fold_dot)
+    norms = np.array([_fold_norm(m[i]) for i in range(len(ids))])
     rows = []
     for qi in np.where(ids < n_queries)[0]:
         d = c_sq - 2.0 * (cents @ md[qi])
@@ -1129,7 +1177,7 @@ def _ann_ivf_golden(
             (
                 int(ids[ci]),
                 _round_half_up6(
-                    float(md[qi] @ md[ci] / (norms[qi] * norms[ci]))
+                    _fold_dot(m[qi], m[ci]) / (norms[qi] * norms[ci])
                 ),
             )
             for ci in range(len(ids))
@@ -1170,12 +1218,14 @@ def _embedding_near_dup_lsh_golden(
                     i, j = int(aids[mem[x]]), int(aids[mem[y]])
                     if i != j:
                         pair_set.add((min(i, j), max(i, j)))
-    norms = np.sqrt((am * am).sum(axis=1))
+    # cosines via the engine's exact fold order (see _fold_dot); am rows
+    # are exact float64 widenings of the augmented float32 vectors
+    norms = np.array([_fold_norm(am[t]) for t in range(len(aids))])
     idx = {int(a): t for t, a in enumerate(aids)}
     rows = []
     for (i, j) in sorted(pair_set):
         cos = _round_half_up6(
-            float(am[idx[i]] @ am[idx[j]] / (norms[idx[i]] * norms[idx[j]]))
+            _fold_dot(am[idx[i]], am[idx[j]]) / (norms[idx[i]] * norms[idx[j]])
         )
         if cos >= threshold:
             rows.append((i, j, cos))

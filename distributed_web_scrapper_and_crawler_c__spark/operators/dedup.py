@@ -183,6 +183,7 @@ UNGATED_JACCARD_MAX_DOCS = 100_000
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5,
     max_docs: int | None = UNGATED_JACCARD_MAX_DOCS,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact 3-gram Jaccard over distinct shingles:
     |A∩B| via a shared-shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
@@ -193,13 +194,16 @@ def ngram_jaccard_pairs(
     bounds the exact computation by LSH candidates). To stop an accidental
     full-corpus run, the input is size-guarded: above ``max_docs`` documents
     this raises and points at the gated pipeline. ``max_docs=None`` bypasses
-    the guard (oracle fixtures only)."""
+    the guard (oracle fixtures only). Callers that already know the row
+    count pass it via ``n_docs`` (no extra job); otherwise the probe is a
+    ``limit(max_docs+1).count()`` so the guard's own cost is bounded by
+    ``max_docs``, never a full pass over the corpus."""
     if max_docs is not None:
-        n = docs.count()
+        n = docs.limit(max_docs + 1).count() if n_docs is None else n_docs
         if n > max_docs:
             raise ValueError(
                 f"ngram_jaccard_pairs is the ungated quadratic form and got "
-                f"{n} docs (> max_docs={max_docs}); use near_dup_pipeline "
+                f">={n} docs (> max_docs={max_docs}); use near_dup_pipeline "
                 f"(LSH-gated) at corpus scale, or pass max_docs=None to "
                 f"force the exact all-pairs run"
             )

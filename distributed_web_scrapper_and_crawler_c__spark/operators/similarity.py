@@ -319,11 +319,14 @@ WHERE round(CAST(list_cosine_similarity(
 
 
 def embedding_cosine_near_dups(emb: DataFrame, threshold: float = 0.95,
-                               n_planes: int = 6, seed: int = 7) -> DataFrame:
+                               n_planes: int = 6, seed: int = 7,
+                               dim: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold, LSH-blocked
     (multi-band: two independent plane sets; a high-cosine pair almost
-    surely agrees in at least one)."""
-    dim = len(emb.select("embedding").first()[0])
+    surely agrees in at least one). Pass ``dim`` when known (it is index
+    metadata, like ``lsh_ann_topk``'s) to skip the one-row sniff job."""
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
     pairs = None
     for s in (seed, seed + 1):
         bucket = lsh_bucket_udf(dim, n_planes, s)

@@ -8,10 +8,16 @@ Crawler.cpp:259-264), book dedup by canonical book URL in discovery order
 (Crawler.cpp:193-198), and ``max_pages`` counting only successful fetches.
 
 Generalized with the server-mode frontier/budget model (SURVEY §2.5 Q2/Q8):
-``host_budget`` caps URLs dequeued per host per round. With
-``host_budget=None`` rounds are exactly the BFS levels of the FIFO queue and
-the dequeue order is byte-identical to the C++ loop; the pytest golden tests
-assert the Spark engine reproduces this oracle state for both settings.
+``host_budget`` caps URLs dequeued per host per round, and ``min_delay``
+models the reference's pacing (the 50 ms dispatch sleep, server.cpp:869,
+and the 3-10 s worker backoff, worker.cpp:432-443) as rounds-between-visits:
+a host dequeued in round r is ineligible again until round r+min_delay;
+rounds where every queued host is inside its revisit window pass as idle
+rounds (the round clock advances, nothing is dequeued). With
+``host_budget=None`` and no delay, rounds are exactly the BFS levels of the
+FIFO queue and the dequeue order is byte-identical to the C++ loop; the
+pytest golden tests assert the Spark engine reproduces this oracle state
+for all settings.
 
 "Fetching" is a lookup into a ``pages`` dict (url → html bytes): the literal
 string ``base_url + path`` is the key, so malformed paths (absolute https://
@@ -58,9 +64,12 @@ def crawl(
     max_pages: int = 0,
     host_budget: int | None = None,
     robots_disallow: list[tuple[str, str]] | None = None,
+    min_delay: int = 0,
 ) -> OracleResult:
     base_url = "http://" + hostname
     res = OracleResult()
+    # min_delay revisit spacing: host -> round of its last actual dequeue
+    host_last: dict[str, int] = {}
 
     # queue entries: (seq, path). seq is the enqueue position — with no
     # budget, dequeue order == seq order (plain FIFO).
@@ -73,21 +82,39 @@ def crawl(
     stopped = False
 
     while queue and not stopped:
+        # cap check at loop TOP, like the reference (Crawler.cpp:172) and
+        # the engine's run_round preamble — when the cap lands exactly on a
+        # slice boundary no further round starts (no trailing idle rounds)
+        if not crawl_all and res.pages_crawled >= max_pages:
+            break
         rnd = res.rounds
-        # --- dequeue under the per-host round budget (engine Q2 semantics) ---
-        if host_budget is None:
+        # --- dequeue under per-host budget + revisit spacing (Q2/Q8) ------
+        if host_budget is None and min_delay <= 1:
             take, queue = queue, []
         else:
             take, rest, counts = [], [], {}
             for seq, path in queue:
                 h = K.url_host(base_url + path)
-                if counts.get(h, 0) < host_budget:
+                delayed = (
+                    min_delay > 1
+                    and h in host_last
+                    and rnd - host_last[h] < min_delay
+                )
+                if delayed or (
+                    host_budget is not None
+                    and counts.get(h, 0) >= host_budget
+                ):
+                    rest.append((seq, path))
+                else:
                     take.append((seq, path))
                     counts[h] = counts.get(h, 0) + 1
-                else:
-                    rest.append((seq, path))
             queue = rest
         if not take:
+            if min_delay > 1 and queue:
+                # every queued host is inside its revisit window: the round
+                # clock advances with nothing dequeued (idle round)
+                res.rounds += 1
+                continue
             break
 
         discovered: list[tuple[int, str]] = []
@@ -99,6 +126,10 @@ def crawl(
                 stopped = True
                 break
 
+            # stamp on ACTUAL pop (post max_pages truncation) — the engine
+            # updates its (host, last_round) table from the popped slice
+            if min_delay > 1:
+                host_last[K.url_host(base_url + path)] = rnd
             html = pages.get(base_url + path)
             res.dequeues.append(Dequeue(rnd, order, seq, path, html is not None))
             order += 1

@@ -30,6 +30,8 @@ xxhash64.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -63,7 +65,7 @@ def build_bloom(df: DataFrame, col: str, m_bits: int | None = None) -> tuple[byt
         F.xxhash64(F.col(col), F.lit(1)).alias("h2"),
     )
 
-    def to_bitmap(pdf_iter):
+    def to_bitmap(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bm = np.zeros(m // 8, dtype=np.uint8)
         for pdf in pdf_iter:
             if len(pdf) == 0:
@@ -140,7 +142,7 @@ def build_shard_bitmaps(
         F.xxhash64(F.col(col), F.lit(1)).alias("h2"),
     )
 
-    def mk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def mk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bm = np.zeros(m_bits // 8, dtype=np.uint8)
         _set_bits(
             bm,
@@ -158,7 +160,7 @@ def or_merge_shard_bitmaps(a: DataFrame, b: DataFrame) -> DataFrame:
     (On a cluster this is the treeAggregate-per-shard merge — Spark's
     partial aggregation runs map-side before the exchange.)"""
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bm = None
         for buf in pdf["bitmap"]:
             arr = np.frombuffer(buf, dtype=np.uint8)

@@ -47,8 +47,8 @@ from ..functions import expressions as X
 from ..functions import kernels as K
 from ..functions import udfs as U
 from . import bloom as BL
+from . import seq as seq_mod
 from .seq import (
-    SMALL_SEQ_ROWS,
     with_global_seq,
     with_grouped_rank,
     with_prefix_sum,
@@ -95,6 +95,7 @@ class CrawlEngine:
         pages: DataFrame,
         hostname: str = "books.toscrape.com",
         host_budget: int | None = None,
+        min_delay: int = 0,
         max_pages: int = 0,
         checkpoint_dir: str | None = None,
         use_bloom: bool = True,
@@ -110,6 +111,13 @@ class CrawlEngine:
         self.hostname = hostname
         self.base_url = "http://" + hostname
         self.host_budget = host_budget
+        # Q8's rounds-between-visits half (SURVEY §2.5): the reference
+        # paces fetches in wall-time (50 ms dispatch sleep server.cpp:869,
+        # 3-10 s worker backoff worker.cpp:432-443); the batch engine
+        # models it as revisit spacing — a host dequeued in round r is
+        # ineligible until round r+min_delay. 0/1 = off (every round).
+        self.min_delay = min_delay
+        self._host_last_round: dict[str, int] = {}
         self.max_pages = max_pages
         self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
         # checkpoint tables go through the table-format seam (SURVEY §4):
@@ -346,10 +354,31 @@ class CrawlEngine:
         # hosts spanning a partition boundary (≤ num_partitions of them)
         # contribute driver-held offsets. Size-gated like every other
         # prefix-sum in the engine.
+        # min_delay revisit spacing (Q8's rounds-between-visits half): hosts
+        # dequeued in round r stay ineligible until round r+min_delay. The
+        # deferral set is a tiny driver-held (host, last_round) table — the
+        # eligibility filter is a broadcast anti-join of the frontier
+        # against it, so the spacing costs no new shuffle.
+        deferred: list[tuple] = []
+        if self.min_delay > 1 and self._host_last_round:
+            deferred = [
+                (h,)
+                for h, lr in self._host_last_round.items()
+                if self.round_num - lr < self.min_delay
+            ]
+        base = self.frontier
+        if deferred:
+            base = base.join(
+                F.broadcast(
+                    self.spark.createDataFrame(deferred, "host string")
+                ),
+                "host",
+                "left_anti",
+            )
         if self.host_budget is not None:
             slice_df = self._pin(
                 with_grouped_rank(
-                    self.frontier, "host", ["seq"], rank_col="_hrk",
+                    base, "host", ["seq"], rank_col="_hrk",
                     num_partitions=self.n_part,
                     approx_rows=self.frontier_size,
                 )
@@ -357,9 +386,38 @@ class CrawlEngine:
                 .drop("_hrk")
             )
             n_slice = slice_df.count()
+        elif deferred:
+            slice_df = self._pin(base)
+            n_slice = slice_df.count()
         else:
             slice_df = self.frontier  # already pinned; whole frontier drains
             n_slice = self.frontier_size
+        if n_slice == 0 and deferred:
+            # every queued host is inside its revisit window: idle round —
+            # the round clock advances with nothing dequeued (oracle parity;
+            # terminates because eligibility is monotone in round_num).
+            # The round's seen/items increments are EMPTY — the checkpoint
+            # writes _parts[-1], and re-writing the previous round's
+            # increment would double it on resume's union.
+            self._seen_parts.append(
+                self.spark.createDataFrame([], SEEN_SCHEMA)
+            )
+            self._item_parts.append(
+                self.spark.createDataFrame([], ITEMS_SCHEMA)
+            )
+            mark("dequeue_fetch")
+            self.metrics.append(
+                RoundMetrics(
+                    round=self.round_num, urls_dequeued=0, urls_fetched=0,
+                    fetch_misses=0, books_found=0, links_extracted=0,
+                    links_new=0, links_dup=0, links_ignored=0,
+                    wall_ms=(time.time() - t0) * 1000, phase_ms=_ph,
+                    ts=time.strftime("%Y-%m-%d %H:%M:%S"),
+                )
+            )
+            self.round_num += 1
+            self._write_checkpoint()
+            return True
 
         # --- "fetch": inner equi-join against the page store ---------------
         # small slices broadcast (one pass over pages, zero shuffle, but the
@@ -407,6 +465,12 @@ class CrawlEngine:
         if n_popped == 0:
             self.stopped = True
             return False
+        if self.min_delay > 1:
+            # stamp the hosts ACTUALLY popped this round (post-truncation,
+            # fetch misses included — the oracle stamps on pop too); tiny
+            # distinct over the already-pinned budgeted slice
+            for r in popped.select("host").distinct().collect():
+                self._host_last_round[r["host"]] = self.round_num
 
         # --- fetch+parse: the join feeds ONE pinned UDF pass producing both
         # the gated book records (P3: category pages only) and the sorted
@@ -504,7 +568,10 @@ class CrawlEngine:
             ),
             F.lit(self.round_num).alias("round"),
         )
-        if n_books_upper >= SMALL_SEQ_ROWS:
+        # module attribute, not an import-by-value: pin gates must track
+        # runtime overrides of seq.SMALL_SEQ_ROWS exactly like seq.py's own
+        # plan gates do (tests monkeypatch it to force the scale path)
+        if n_books_upper >= seq_mod.SMALL_SEQ_ROWS:
             fresh = self._pin(fresh)
         new_items = self._pin(
             with_global_seq(
@@ -632,7 +699,7 @@ class CrawlEngine:
             F.lit(self.round_num + 1).alias("round_added"),
         )
         n_links_upper = n_kept_expected - n_robots_blocked
-        if n_links_upper >= SMALL_SEQ_ROWS:
+        if n_links_upper >= seq_mod.SMALL_SEQ_ROWS:
             firsts = self._pin(firsts)
         new_frontier = self._pin(
             with_global_seq(
@@ -741,6 +808,7 @@ class CrawlEngine:
             "seen_count": self.seen_count,
             "seen_base_round": self._seen_base_round,
             "bloom_m": self._bloom_m,
+            "host_last_round": self._host_last_round,
             "stopped": self.stopped,
             "metrics": [
                 {k: v for k, v in m.__dict__.items()} for m in self.metrics
@@ -818,6 +886,9 @@ class CrawlEngine:
         if eng.seen_count < 0:
             eng.seen_count = eng.seen.count()
         eng._seen_base_round = seen_base
+        eng._host_last_round = {
+            h: int(r) for h, r in state.get("host_last_round", {}).items()
+        }
         eng.stopped = state["stopped"]
         eng.metrics = [RoundMetrics(**m) for m in state["metrics"]]
         return eng

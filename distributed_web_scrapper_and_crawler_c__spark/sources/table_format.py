@@ -10,9 +10,11 @@ rewrite of history), so the swap buys ACID commits, snapshot time-travel
 over rounds, and storage-partitioned joins against the page store without
 touching plans/frontier.py.
 
-Reference parity note: the reference persists crawl state as flat files +
-an SQLite ledger (server.cpp checkpointing); this seam is the Spark-native
-generalization of that boundary.
+Reference parity note: the reference keeps all crawl state in memory and
+persists nothing until shutdown, when it writes the result CSVs
+(server.cpp:583-675; signal path server.cpp:1101-1140) — it has no
+checkpoint/resume. This seam is where the Spark engine ADDS durability the
+reference lacks (SURVEY §2.5 Q5 reassign-on-loss → resumable rounds).
 """
 
 from __future__ import annotations
