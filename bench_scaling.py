@@ -20,8 +20,17 @@ scheduling, not the engine.
 
 Run:  python bench_scaling.py               # all levels → BENCH/BASELINE.md
       python bench_scaling.py --worker 8    # one run, prints one JSON line
+      python bench_scaling.py --sweep       # JOB-SIZE sweep: the same
+          interleaved min-wall protocol at several site sizes, local[8] vs
+          local[32] — the experiment that tests the Amdahl fit's claim that
+          the single-JVM serial term AMORTIZES with pages-per-round (so
+          N->4N efficiency rises with job size). Appends raw lines to
+          BENCH/sweep_runs.jsonl (resumable), writes BENCH/SIZE_SWEEP.md,
+          which --rewrite-md folds into BENCH/BASELINE.md.
 Env:  SPARK_SCALING_BOOKS (default 100000), SPARK_SCALING_LEVELS ("2,8,32"),
-      SPARK_SCALING_RUNS (default 3)
+      SPARK_SCALING_RUNS (default 3), SPARK_SWEEP_SIZES
+      ("600000,2400000,9600000"), SPARK_SWEEP_LEVELS ("8,32"),
+      SPARK_SWEEP_RUNS (default 4)
 """
 
 from __future__ import annotations
@@ -52,7 +61,8 @@ def _session(cores: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_SCALING_DRIVER_MEM", "24g"))
         .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -154,6 +164,118 @@ def main() -> None:
     with open(os.path.join(here, "BENCH", "scaling_runs.json"), "w") as f:
         json.dump({str(c): rs for c, rs in runs.items()}, f)
     write_md(here, runs)
+
+
+def sweep() -> None:
+    """Job-size scaling sweep. One worker subprocess per (size, level) run,
+    interleaved across sizes AND levels so host-noise epochs hit every cell
+    equally; every raw line is appended to BENCH/sweep_runs.jsonl as it
+    lands, so an interrupted sweep resumes by just running --sweep again
+    (already-recorded (size, level, trial) cells are skipped)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    sizes = [int(x) for x in os.environ.get(
+        "SPARK_SWEEP_SIZES", "600000,2400000,9600000").split(",")]
+    levels = [int(x) for x in os.environ.get(
+        "SPARK_SWEEP_LEVELS", "8,32").split(",")]
+    n_runs = int(os.environ.get("SPARK_SWEEP_RUNS", "4"))
+    os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+    raw_path = os.path.join(here, "BENCH", "sweep_runs.jsonl")
+    done: dict[tuple, int] = {}
+    if os.path.exists(raw_path):
+        with open(raw_path) as f:
+            for line in f:
+                r = json.loads(line)
+                k = (r["books"], r["cores"])
+                done[k] = done.get(k, 0) + 1
+
+    for size in sizes:
+        pages = f"/dev/shm/scaling_pages_{size}"
+        if not os.path.isdir(pages):
+            env = dict(os.environ, SPARK_SCALING_BOOKS=str(size))
+            subprocess.run([sys.executable, __file__, "--prep"],
+                           cwd=here, check=True, env=env)
+
+    for trial in range(n_runs):
+        for size in sizes:
+            for cores in levels:
+                if done.get((size, cores), 0) > trial:
+                    continue  # resumed sweep: this cell already sampled
+                env = dict(os.environ, SPARK_SCALING_BOOKS=str(size))
+                out = subprocess.run(
+                    [sys.executable, __file__, "--worker", str(cores)],
+                    capture_output=True, text=True, cwd=here, check=True,
+                    env=env,
+                )
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                r["books"] = size
+                with open(raw_path, "a") as f:
+                    f.write(json.dumps(r) + "\n")
+                print(f"trial {trial} {json.dumps(r)}", flush=True)
+    write_sweep_md(here)
+
+
+def write_sweep_md(here: str) -> None:
+    raw_path = os.path.join(here, "BENCH", "sweep_runs.jsonl")
+    cells: dict[tuple, list[dict]] = {}
+    with open(raw_path) as f:
+        for line in f:
+            r = json.loads(line)
+            cells.setdefault((r["books"], r["cores"]), []).append(r)
+    sizes = sorted({b for b, _c in cells})
+    levels = sorted({c for _b, c in cells})
+    lo, hi = min(levels), max(levels)
+    best = {k: min(rs, key=lambda r: r["wall_sec"]) for k, rs in cells.items()}
+
+    md = os.path.join(here, "BENCH", "SIZE_SWEEP.md")
+    with open(md, "w") as f:
+        f.write(
+            "## Job-size scaling sweep (does the serial term amortize?)\n\n"
+            "The Amdahl fit above predicts the single-JVM serial term is "
+            "~constant per round while the parallel term grows with pages — "
+            "so measured N->4N efficiency should RISE with job size. Test: "
+            "the same interleaved min-wall protocol at several site sizes, "
+            f"local[{lo}] vs local[{hi}] (fresh JVM per run; runs per cell "
+            "in the table). Every cell reports the BEST (minimum) wall.\n\n"
+            f"| books | pages | runs/cell | local[{lo}] best wall (s) | "
+            f"local[{hi}] best wall (s) | URLs/sec @{lo} | URLs/sec @{hi} | "
+            f"eff {lo}->{hi} (raw /4) | eff adj (~20-core ceiling) |\n"
+            "| --- | --- | --- | --- | --- | --- | --- | --- | --- |\n"
+        )
+        for b in sizes:
+            blo, bhi = best.get((b, lo)), best.get((b, hi))
+            if blo is None or bhi is None:
+                continue
+            ratio = bhi["urls_per_sec"] / blo["urls_per_sec"]
+            raw_eff = ratio / (hi / lo)
+            cap = min(hi, 20.0) / min(lo, 20.0)
+            adj = ratio / min(hi / lo, cap)
+            nruns = min(len(cells[(b, lo)]), len(cells[(b, hi)]))
+            f.write(
+                f"| {b:,} | {blo['site_pages']:,} | {nruns} "
+                f"| {blo['wall_sec']} | {bhi['wall_sec']} "
+                f"| {blo['urls_per_sec']} | {bhi['urls_per_sec']} "
+                f"| {raw_eff:.3f} | {adj:.3f} |\n"
+            )
+        # per-size Amdahl decomposition from the two endpoint best walls
+        f.write(
+            "\nPer-size Amdahl decomposition (`wall(N) = serial + "
+            "parallel/N` solved from the two best walls):\n\n"
+            "| books | serial (s) | parallel@1core (s) | parallel "
+            "fraction |\n| --- | --- | --- | --- |\n"
+        )
+        for b in sizes:
+            blo, bhi = best.get((b, lo)), best.get((b, hi))
+            if blo is None or bhi is None:
+                continue
+            wlo, whi = blo["wall_sec"], bhi["wall_sec"]
+            par = (wlo - whi) * (lo * hi) / (hi - lo)
+            ser = wlo - par / lo
+            frac = par / (par + ser) if par > 0 else 0.0
+            f.write(f"| {b:,} | {ser:.1f} | {par:.1f} | {frac:.3f} |\n")
+        f.write(
+            "\nRaw sweep runs: `BENCH/sweep_runs.jsonl`.\n\n"
+        )
+    print(f"-> {md}")
 
 
 def write_md(here: str, runs: dict[int, list[dict]]) -> None:
@@ -293,6 +415,10 @@ def write_md(here: str, runs: dict[int, list[dict]]) -> None:
                 )
                 + "\n"
             )
+        sweep_md = os.path.join(here, "BENCH", "SIZE_SWEEP.md")
+        if os.path.exists(sweep_md):
+            with open(sweep_md) as sf:
+                f.write(sf.read() + "\n")
         f.write(
             "## Environment caveats (measured)\n\n"
             "- Identical back-to-back runs of this job vary 30.7s-94.7s "
@@ -330,6 +456,11 @@ if __name__ == "__main__":
         prep()
     elif len(sys.argv) > 2 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sweep":
+        sweep()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sweep-md":
+        here = os.path.dirname(os.path.abspath(__file__))
+        write_sweep_md(here)
     elif len(sys.argv) > 1 and sys.argv[1] == "--rewrite-md":
         # regenerate BENCH/BASELINE.md from previously saved raw runs
         here = os.path.dirname(os.path.abspath(__file__))

@@ -345,6 +345,17 @@ class CrawlEngine:
             _ph[name] = round((now - _last[0]) * 1000, 1)
             _last[0] = now
 
+        # profiling-only sub-marks (SPARK_PHASE_DETAIL=1): split the coarse
+        # phases at each materialization boundary; off by default so the
+        # bench phase tables keep their stable 5-phase shape
+        import os as _os
+
+        _detail = _os.environ.get("SPARK_PHASE_DETAIL") == "1"
+
+        def dmark(name: str) -> None:
+            if _detail:
+                mark(name)
+
         # --- dequeue under per-host politeness budget (Q2/Q8) -------------
         # per-host rank via the two-phase grouped prefix-count (plans/seq.py):
         # a per-host window would put a mega-host's whole frontier in ONE
@@ -493,6 +504,7 @@ class CrawlEngine:
                 U.extract_links_udf(F.col("html"), page_url).alias("links"),
             )
         )
+        dmark("d.parse_pin")
         stats = parsed.groupBy("_pid").agg(
             F.count("*").alias("cnt"),
             F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("n_links"),
@@ -516,6 +528,7 @@ class CrawlEngine:
                 F.lit(0),
             ).alias("n_books"),
         ).collect()
+        dmark("d.stats_agg")
         part_counts = {r["_pid"]: r["cnt"] for r in stats}
         n_hits = sum(part_counts.values())
         n_extracted = sum(r["n_links"] for r in stats)
@@ -573,6 +586,7 @@ class CrawlEngine:
         # plan gates do (tests monkeypatch it to force the scale path)
         if n_books_upper >= seq_mod.SMALL_SEQ_ROWS:
             fresh = self._pin(fresh)
+            dmark("b.fresh_pin")
         new_items = self._pin(
             with_global_seq(
                 fresh, ["parent_seq", "book_rank"], start=self.items_count,
@@ -584,7 +598,9 @@ class CrawlEngine:
                 "item_type", "round",
             )
         )
+        dmark("b.seq_pin")
         new_item_count = new_items.count()  # cheap: reads the pinned blocks
+        dmark("b.count")
         self._item_parts.append(new_items)
         self.items = self.items.unionByName(new_items)  # lazy over pinned parts
         self.items_count += new_item_count
@@ -668,6 +684,7 @@ class CrawlEngine:
                 ).alias("m"),
             ).first()
             n_bloom_checked = _ks["m"]
+            dmark("l.probe_pin_agg")
             if has_robots:
                 n_robots_blocked = n_kept_expected - _ks["n"]
             sure_new = kept.filter(~F.col("_maybe")).drop("_maybe")
@@ -710,6 +727,7 @@ class CrawlEngine:
                 "parent_seq", "link_rank", "round_added",
             )
         )
+        dmark("s.seq_pin")
         n_new = new_frontier.count()  # cheap: reads the pinned blocks
         self.next_seq += n_new
         mark("dedup_seq")
