@@ -49,7 +49,9 @@ from ..functions import udfs as U
 from . import bloom as BL
 from . import seq as seq_mod
 from .seq import (
+    range_bucket_expr,
     with_global_seq,
+    with_global_seq_bucketed,
     with_grouped_rank,
     with_prefix_sum,
 )
@@ -507,6 +509,8 @@ class CrawlEngine:
         dmark("d.parse_pin")
         stats = parsed.groupBy("_pid").agg(
             F.count("*").alias("cnt"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
             F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("n_links"),
             F.coalesce(
                 F.sum(
@@ -531,6 +535,10 @@ class CrawlEngine:
         dmark("d.stats_agg")
         part_counts = {r["_pid"]: r["cnt"] for r in stats}
         n_hits = sum(part_counts.values())
+        # parent-seq bounds of this round's fetched pages — the bucket
+        # range for the sampling-free seq shuffles below (free: same agg)
+        seq_lo = min((r["min_seq"] for r in stats), default=0)
+        seq_hi = max((r["max_seq"] for r in stats), default=0)
         n_extracted = sum(r["n_links"] for r in stats)
         n_ignored = sum(r["n_ignored"] for r in stats)
         # pre-dedup book total: physical-plan size hint for the seq stage
@@ -563,14 +571,13 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # size-adaptive materialization: on SMALL rounds (the seq stage's
-        # one-shuffle window path) the books flow materializes exactly once
-        # — the final pin — because the per-round fixed cost of an extra
-        # block-manager write dominates there. On BIG rounds the two-phase
-        # seq path's repartitionByRange SAMPLES its input, which would
-        # recompute this UDF-heavy plan twice — so the projection is pinned
-        # first, exactly as seq.py's contract asks. The size hint comes from
-        # the pre-dedup book total already in the parse stats (no count job).
+        # materialization plan: small rounds pin once, after the
+        # one-shuffle window seq; big rounds shuffle straight into the
+        # bucketed seq's internal pin (sampling-free — the old pre-pin the
+        # repartitionByRange sampling forced is gone) and pin the stamped
+        # output once more, since items is re-read every later round. The
+        # size hint is the pre-dedup book total already in the parse stats
+        # — never an extra count job.
         fresh = fresh.select(
             "parent_seq", "book_rank", "url", "canonical_url",
             "title", "price", "rating",
@@ -581,26 +588,38 @@ class CrawlEngine:
             ),
             F.lit(self.round_num).alias("round"),
         )
-        # module attribute, not an import-by-value: pin gates must track
+        item_cols = [
+            "item_seq", "parent_seq", "book_rank", "url", "canonical_url",
+            "title", "price", "rating", "price_value", "rating_value",
+            "item_type", "round",
+        ]
+        # module attribute, not an import-by-value: plan gates must track
         # runtime overrides of seq.SMALL_SEQ_ROWS exactly like seq.py's own
-        # plan gates do (tests monkeypatch it to force the scale path)
-        if n_books_upper >= seq_mod.SMALL_SEQ_ROWS:
-            fresh = self._pin(fresh)
-            dmark("b.fresh_pin")
-        new_items = self._pin(
-            with_global_seq(
-                fresh, ["parent_seq", "book_rank"], start=self.items_count,
-                seq_col="item_seq", num_partitions=self.n_part,
-                approx_rows=n_books_upper,
-            ).select(
-                "item_seq", "parent_seq", "book_rank", "url", "canonical_url",
-                "title", "price", "rating", "price_value", "rating_value",
-                "item_type", "round",
+        # gates do (tests monkeypatch it to force the scale path)
+        if n_books_upper < seq_mod.SMALL_SEQ_ROWS:
+            new_items = self._pin(
+                with_global_seq(
+                    fresh, ["parent_seq", "book_rank"], start=self.items_count,
+                    seq_col="item_seq", num_partitions=self.n_part,
+                    approx_rows=n_books_upper,
+                ).select(*item_cols)
             )
-        )
+            new_item_count = new_items.count()  # cheap: reads pinned blocks
+        else:
+            # big rounds: sampling-free bucketed seq — the UDF-heavy dedup
+            # plan executes exactly ONCE (into the seq shuffle's pin; the
+            # old repartitionByRange path SAMPLED its input, which forced a
+            # whole extra pre-pin materialization per round), and the row
+            # total falls out of the offsets pass — no count job
+            stamped, new_item_count = with_global_seq_bucketed(
+                fresh, ["parent_seq", "book_rank"],
+                range_bucket_expr("parent_seq", seq_lo, seq_hi,
+                                  8 * self.n_part),
+                n_buckets=8 * self.n_part, n_partitions=self.n_part,
+                start=self.items_count, seq_col="item_seq",
+            )
+            new_items = self._pin(stamped.select(*item_cols))
         dmark("b.seq_pin")
-        new_item_count = new_items.count()  # cheap: reads the pinned blocks
-        dmark("b.count")
         self._item_parts.append(new_items)
         self.items = self.items.unionByName(new_items)  # lazy over pinned parts
         self.items_count += new_item_count
@@ -705,30 +724,40 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn", "link")
         )
-        # same size-adaptive pattern as items: single materialization on
-        # small rounds, projection pinned first on big rounds (the two-phase
-        # seq path samples its input); the size hint is the post-robots
-        # candidate count already in hand — never an extra count job
+        # same materialization pattern as items: small rounds pin once
+        # after the window seq; big rounds go sampling-free through the
+        # bucketed seq (no pre-pin) and pin the stamped frontier, which is
+        # re-read every subsequent round. Size hint = the post-robots
+        # candidate count already in hand — never an extra count job.
         firsts = firsts.select(
             "path", "url", "canonical",
             X.url_host_expr(F.col("url")).alias("host"),
             "parent_seq", "link_rank",
             F.lit(self.round_num + 1).alias("round_added"),
         )
+        frontier_cols = [
+            "seq", "path", "url", "canonical", "host",
+            "parent_seq", "link_rank", "round_added",
+        ]
         n_links_upper = n_kept_expected - n_robots_blocked
-        if n_links_upper >= seq_mod.SMALL_SEQ_ROWS:
-            firsts = self._pin(firsts)
-        new_frontier = self._pin(
-            with_global_seq(
-                firsts, ["parent_seq", "link_rank"], start=self.next_seq,
-                num_partitions=self.n_part, approx_rows=n_links_upper,
-            ).select(
-                "seq", "path", "url", "canonical", "host",
-                "parent_seq", "link_rank", "round_added",
+        if n_links_upper < seq_mod.SMALL_SEQ_ROWS:
+            new_frontier = self._pin(
+                with_global_seq(
+                    firsts, ["parent_seq", "link_rank"], start=self.next_seq,
+                    num_partitions=self.n_part, approx_rows=n_links_upper,
+                ).select(*frontier_cols)
             )
-        )
+            n_new = new_frontier.count()  # cheap: reads the pinned blocks
+        else:
+            stamped, n_new = with_global_seq_bucketed(
+                firsts, ["parent_seq", "link_rank"],
+                range_bucket_expr("parent_seq", seq_lo, seq_hi,
+                                  8 * self.n_part),
+                n_buckets=8 * self.n_part, n_partitions=self.n_part,
+                start=self.next_seq,
+            )
+            new_frontier = self._pin(stamped.select(*frontier_cols))
         dmark("s.seq_pin")
-        n_new = new_frontier.count()  # cheap: reads the pinned blocks
         self.next_seq += n_new
         mark("dedup_seq")
 

@@ -101,6 +101,92 @@ def with_global_seq(
     return parted.mapInPandas(stamp, schema)
 
 
+def with_global_seq_bucketed(
+    df: DataFrame,
+    order_cols: list[str],
+    bucket_expr,
+    n_buckets: int,
+    start: int = 0,
+    seq_col: str = "seq",
+    n_partitions: int | None = None,
+):
+    """Scale-path twin of :func:`with_global_seq` for callers that can name
+    an explicit ORDER-ALIGNED bucket expression (values in [0, n_buckets),
+    monotone non-decreasing in ``order_cols`` order — e.g. a range bucket
+    over ``parent_seq``, whose bounds the engine already holds from the
+    round's stats agg).
+
+    Why it exists: ``repartitionByRange`` SAMPLES its input to pick range
+    boundaries — a full extra execution of the upstream plan — which forces
+    callers to pre-pin UDF-heavy inputs (one whole extra materialization
+    per round). An explicit bucket needs no sampling: one hash shuffle on
+    the bucket id (a bucket lands wholly in one partition; use more buckets
+    than partitions — several per partition — to smooth the hash placement),
+    sort within partitions on (bucket, order), pin ONCE, per-bucket counts
+    → offsets, stamp. The bucket only shapes the physical partitioning; the
+    assigned sequence is identical to :func:`with_global_seq` for any valid
+    bucket expression (asserted in tests against skewed bucketings).
+
+    Returns ``(stamped_df, total_rows)`` — the total falls out of the
+    offsets pass, saving the caller's count job. ``stamped_df`` is a
+    mapInPandas over the internally pinned shuffle, NOT itself pinned.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    parted = (
+        df.withColumn("_bkt", bucket_expr.cast("int"))
+        .repartition(n_partitions or n_buckets, F.col("_bkt"))
+        .sortWithinPartitions("_bkt", *order_cols)
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in parted.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = start
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    total = acc - start
+
+    schema = parted.drop("_bkt").schema.add(seq_col, "long")
+    cols = [f.name for f in schema.fields]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def stamp(batches):
+        carried: dict = {}  # bucket -> rows already stamped this partition
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.drop(columns=["_bkt"])
+            local = pdf.groupby("_bkt", sort=False).cumcount().to_numpy()
+            base = {
+                int(b): bc.value[int(b)] + carried.get(int(b), 0)
+                for b in pdf["_bkt"].unique()
+            }
+            out[seq_col] = (
+                pdf["_bkt"].map(base).to_numpy(dtype="int64") + local
+            )
+            for b, c in pdf.groupby("_bkt", sort=False).size().items():
+                carried[int(b)] = carried.get(int(b), 0) + int(c)
+            yield pd.DataFrame(out, columns=cols)
+
+    return parted.mapInPandas(stamp, schema), total
+
+
+def range_bucket_expr(col: str, lo: int, hi: int, n_buckets: int):
+    """[0, n_buckets) bucket of ``col`` over the known value range
+    [lo, hi] — the order-aligned bucket for :func:`with_global_seq_bucketed`
+    when the leading order column's bounds are already in hand."""
+    span = max(int(hi) - int(lo) + 1, 1)
+    return F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col(col) - F.lit(int(lo))) * n_buckets / F.lit(span)),
+    )
+
+
 def with_grouped_rank(
     df: DataFrame,
     group_col: str,

@@ -184,6 +184,49 @@ def test_iceberg_adapter_still_raises_without_catalog(spark):
         ad.write(spark.range(1), "nope.db.t")
 
 
+# -------------------------------------------------- bucketed seq (no sample)
+
+
+def test_bucketed_seq_matches_window_seq(spark):
+    """with_global_seq_bucketed assigns the identical sequence for any
+    valid (order-aligned) bucketing — balanced, coarse, or fully skewed —
+    and returns the exact row total."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from distributed_web_scrapper_and_crawler_c__spark.plans.seq import (
+        range_bucket_expr,
+        with_global_seq,
+        with_global_seq_bucketed,
+    )
+
+    rng = random.Random(7)
+    rows = list({(rng.randrange(50), rng.randrange(400)) for _ in range(3000)})
+    df = spark.createDataFrame(
+        [(a, b, f"v{a}_{b}") for a, b in rows], "a long, b long, v string"
+    )
+    want = {
+        (r["a"], r["b"]): r["seq"]
+        for r in with_global_seq(
+            df, ["a", "b"], start=100, approx_rows=1
+        ).collect()
+    }
+
+    variants = [
+        (range_bucket_expr("a", 0, 49, 13), 13, 5),   # balanced
+        (range_bucket_expr("a", 0, 49, 96), 96, 8),   # more buckets than parts
+        (F.lit(0), 4, 4),                             # fully skewed: 1 bucket
+    ]
+    for bexpr, nb, np_ in variants:
+        got_df, total = with_global_seq_bucketed(
+            df, ["a", "b"], bexpr, n_buckets=nb, n_partitions=np_, start=100
+        )
+        got = {(r["a"], r["b"]): r["seq"] for r in got_df.collect()}
+        assert got == want
+        assert total == len(rows)
+
+
 # ------------------------------------------------------------ small fixes
 
 
