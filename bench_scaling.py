@@ -225,6 +225,11 @@ def write_sweep_md(here: str) -> None:
     levels = sorted({c for _b, c in cells})
     lo, hi = min(levels), max(levels)
     best = {k: min(rs, key=lambda r: r["wall_sec"]) for k, rs in cells.items()}
+    # every N -> 4N pair the sweep sampled. 2->8 matters most: both ends sit
+    # BELOW the VM's ~20-effective-core ceiling, so its raw efficiency is a
+    # ceiling-free measurement of the north rule's N->4N criterion (8->32's
+    # raw number is physically capped at 20/8/4 = 0.625 on this VM).
+    pairs = [(a, b) for a in levels for b in levels if b == 4 * a]
 
     md = os.path.join(here, "BENCH", "SIZE_SWEEP.md")
     with open(md, "w") as f:
@@ -233,29 +238,39 @@ def write_sweep_md(here: str) -> None:
             "The Amdahl fit above predicts the single-JVM serial term is "
             "~constant per round while the parallel term grows with pages — "
             "so measured N->4N efficiency should RISE with job size. Test: "
-            "the same interleaved min-wall protocol at several site sizes, "
-            f"local[{lo}] vs local[{hi}] (fresh JVM per run; runs per cell "
-            "in the table). Every cell reports the BEST (minimum) wall.\n\n"
-            f"| books | pages | runs/cell | local[{lo}] best wall (s) | "
-            f"local[{hi}] best wall (s) | URLs/sec @{lo} | URLs/sec @{hi} | "
-            f"eff {lo}->{hi} (raw /4) | eff adj (~20-core ceiling) |\n"
-            "| --- | --- | --- | --- | --- | --- | --- | --- | --- |\n"
+            "the same interleaved min-wall protocol at several site sizes "
+            f"and parallelism levels {levels} (fresh JVM per run; runs per "
+            "cell in the table). Every cell reports the BEST (minimum) "
+            "wall. The 2->8 pair is the ceiling-free N->4N measurement "
+            "(both ends below the VM's ~20-effective-core ceiling); "
+            "8->32's raw number is capped at 20/8/4 = 0.625 on this VM "
+            "even for perfect code.\n\n"
         )
-        for b in sizes:
-            blo, bhi = best.get((b, lo)), best.get((b, hi))
-            if blo is None or bhi is None:
-                continue
-            ratio = bhi["urls_per_sec"] / blo["urls_per_sec"]
-            raw_eff = ratio / (hi / lo)
-            cap = min(hi, 20.0) / min(lo, 20.0)
-            adj = ratio / min(hi / lo, cap)
-            nruns = min(len(cells[(b, lo)]), len(cells[(b, hi)]))
+        for a, b4 in pairs:
             f.write(
-                f"| {b:,} | {blo['site_pages']:,} | {nruns} "
-                f"| {blo['wall_sec']} | {bhi['wall_sec']} "
-                f"| {blo['urls_per_sec']} | {bhi['urls_per_sec']} "
-                f"| {raw_eff:.3f} | {adj:.3f} |\n"
+                f"### local[{a}] -> local[{b4}] (N -> 4N)\n\n"
+                f"| books | pages | runs/cell | local[{a}] best wall (s) | "
+                f"local[{b4}] best wall (s) | URLs/sec @{a} | URLs/sec "
+                f"@{b4} | eff {a}->{b4} (raw /4) | eff adj "
+                "(~20-core ceiling) |\n"
+                "| --- | --- | --- | --- | --- | --- | --- | --- | --- |\n"
             )
+            for b in sizes:
+                blo, bhi = best.get((b, a)), best.get((b, b4))
+                if blo is None or bhi is None:
+                    continue
+                ratio = bhi["urls_per_sec"] / blo["urls_per_sec"]
+                raw_eff = ratio / (b4 / a)
+                cap = min(b4, 20.0) / min(a, 20.0)
+                adj = ratio / min(b4 / a, cap)
+                nruns = min(len(cells[(b, a)]), len(cells[(b, b4)]))
+                f.write(
+                    f"| {b:,} | {blo['site_pages']:,} | {nruns} "
+                    f"| {blo['wall_sec']} | {bhi['wall_sec']} "
+                    f"| {blo['urls_per_sec']} | {bhi['urls_per_sec']} "
+                    f"| {raw_eff:.3f} | {adj:.3f} |\n"
+                )
+            f.write("\n")
         # per-size Amdahl decomposition from the two endpoint best walls
         f.write(
             "\nPer-size Amdahl decomposition (`wall(N) = serial + "
