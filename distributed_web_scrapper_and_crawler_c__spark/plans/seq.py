@@ -82,8 +82,12 @@ def with_global_seq(
 
     schema = parted.drop("_pid").schema.add(seq_col, "long")
     cols = [f.name for f in schema.fields]
-    bc = spark.sparkContext.broadcast(offsets)
 
+    # offsets ride in the pickled closure, NOT a sc.broadcast: the Python
+    # Broadcast wrapper would die with this frame while the returned plan
+    # is still lazy, and the ContextCleaner can then remove the broadcast
+    # before the caller materializes ("Block broadcast_N does not exist").
+    # The dict is ≤ num_partitions entries — closure capture is free.
     def stamp(batches):
         seen = 0
         pid = None
@@ -92,7 +96,7 @@ def with_global_seq(
                 continue
             if pid is None:
                 pid = int(pdf["_pid"].iloc[0])
-            base = bc.value[pid] + seen
+            base = offsets[pid] + seen
             out = pdf.drop(columns=["_pid"])
             out[seq_col] = range(base, base + len(pdf))
             seen += len(pdf)
@@ -153,8 +157,10 @@ def with_global_seq_bucketed(
 
     schema = parted.drop("_bkt").schema.add(seq_col, "long")
     cols = [f.name for f in schema.fields]
-    bc = spark.sparkContext.broadcast(offsets)
 
+    # closure-captured offsets, not sc.broadcast — same lifetime rationale
+    # as in with_global_seq: the wrapper dying with this frame lets the
+    # ContextCleaner race the caller's eager pin. ≤ n_buckets entries.
     def stamp(batches):
         carried: dict = {}  # bucket -> rows already stamped this partition
         for pdf in batches:
@@ -163,7 +169,7 @@ def with_global_seq_bucketed(
             out = pdf.drop(columns=["_bkt"])
             local = pdf.groupby("_bkt", sort=False).cumcount().to_numpy()
             base = {
-                int(b): bc.value[int(b)] + carried.get(int(b), 0)
+                int(b): offsets[int(b)] + carried.get(int(b), 0)
                 for b in pdf["_bkt"].unique()
             }
             out[seq_col] = (
@@ -259,8 +265,10 @@ def with_grouped_rank(
 
     schema = parted.drop("_pid").schema.add(rank_col, "long")
     cols = [f.name for f in schema.fields]
-    bc = spark.sparkContext.broadcast(offsets)
 
+    # closure-captured offsets (≤ 2·num_partitions boundary entries), not
+    # sc.broadcast — the wrapper dying with this frame would let the
+    # ContextCleaner remove the broadcast before the caller materializes
     def stamp(batches):
         pid = None
         carried: dict = {}  # group -> rows already stamped in this partition
@@ -273,7 +281,7 @@ def with_grouped_rank(
             local = out.groupby(group_col, sort=False).cumcount().to_numpy()
             # per-GROUP base lookup (distinct groups per batch, not per row)
             comb = {
-                g: bc.value.get((pid, g), 0) + carried.get(g, 0)
+                g: offsets.get((pid, g), 0) + carried.get(g, 0)
                 for g in out[group_col].unique()
             }
             base = out[group_col].map(comb).to_numpy(dtype="int64")
@@ -341,8 +349,9 @@ def with_prefix_sum(
 
     schema = parted.drop("_pid").schema.add(out_col, "long")
     cols = [f.name for f in schema.fields]
-    bc = spark.sparkContext.broadcast(offsets)
 
+    # closure-captured offsets (≤ num_partitions entries), not sc.broadcast
+    # — same ContextCleaner-lifetime rationale as the other stamp closures
     def stamp(batches):
         carried = 0
         pid = None
@@ -353,7 +362,7 @@ def with_prefix_sum(
                 pid = int(pdf["_pid"].iloc[0])
             vals = pdf[value_col].to_numpy()
             out = pdf.drop(columns=["_pid"])
-            out[out_col] = bc.value[pid] + carried + vals.cumsum() - vals
+            out[out_col] = offsets[pid] + carried + vals.cumsum() - vals
             carried += int(vals.sum())
             yield pd.DataFrame(out, columns=cols)
 
