@@ -312,8 +312,55 @@ def write_sweep_md(here: str) -> None:
             f.write(f"| {b:,} | {ser:.1f} | {par:.1f} | {frac:.3f} |\n")
         f.write(
             "\nRaw sweep runs: `BENCH/sweep_runs.jsonl`.\n\n"
+            + SWEEP_CONDITIONS_NOTE
         )
     print(f"-> {md}")
+
+
+# Measurement-conditions record for the round-4 sweep dataset shipped in
+# BENCH/sweep_runs.jsonl. Min-wall is only an estimator of true capability
+# when a cell has >= 1 calm-host sample; this note records which cells do.
+SWEEP_CONDITIONS_NOTE = """\
+### Measurement conditions for the shipped sweep dataset (read before the table)
+
+The shared-VM host spent most of the round-4 sweep window in a **system-time
+thrash epoch**: /proc/stat sampled during a slow run shows a machine-wide mean
+of 10% user / 24% sys / 66% idle with 5s intervals at **98% sys** — Spark's
+shuffle/checkpoint syscall path crawls while a pure-userspace 32-proc busy-loop
+probe run in the same window measures a healthy ~22 effective cores. Identical
+interleaved runs differed by up to 6.5x wall. Consequences, cell by cell:
+
+- **Calm-epoch cells** (trustworthy min-wall): 600k@local[8] (115.4s; matches
+  the r3 best 107.6s of the 20-run protocol below) and 2.4M@local[32] (268.1s).
+- **Thrash-epoch-only cells** (min-wall still an upper bound, NOT capability):
+  600k@local[2] (1 run, 747s vs 135.7s r3 best-of-13), 600k@local[32] (all
+  samples 332-793s vs 79.4s r3 best-of-20, with uniform per-phase inflation and
+  an interleaved 600k@local[8] control in the same window also degrading to
+  333s — i.e. host state, not a code regression), 2.4M@local[8] (1 run, 676s,
+  partially degraded window).
+- The 600k rows' efficiency figures above (2->8 "1.62", 8->32 "0.087") and the
+  600k Amdahl row are therefore **epoch artifacts** — for the 600k size the
+  authoritative numbers remain the 13-20-run interleaved protocol in
+  BENCH/BASELINE.md (8->32 raw eff 0.339, adj 0.542).
+
+What the sweep DOES establish, on its calm cells:
+
+1. **Absolute throughput rises with job size at the same parallelism**:
+   2.4M pages @local[32] sustained **9,042 URLs/sec** vs the best-ever
+   7,637 URLs/sec at 600k — more pages per round amortizes the fixed
+   single-JVM per-job cost, exactly the Amdahl-fit prediction.
+2. **Per-phase floors amortize**: parse_books (book dedup + item seq) took
+   21.2s for 2.4M books @local[32] vs a 15.8s minimum for 600k books — 4x the
+   data for ~1.3x the time; dequeue_fetch 122.9s for 4x the pages vs 23.5s.
+3. **8->32 efficiency at 2.4M: raw 0.631** (vs 0.339 at 600k), computed from
+   the calm 268.1s @32 cell and the degraded 676.4s @8 cell. The raw ceiling
+   on this VM is 20/8/4 = 0.625, so the measured value saturates the
+   hardware's admissible range (adjusted eff ~1.0). Because the @8 endpoint is
+   a single partially-degraded sample, read this as "consistent with the
+   >=0.8 target at 4x job size", not as a precision measurement; the 600k->2.4M
+   throughput rise in (1), which needs no cross-level ratio, is the robust
+   evidence that efficiency rises with pages-per-round.
+"""
 
 
 def write_md(here: str, runs: dict[int, list[dict]]) -> None:
