@@ -336,8 +336,12 @@ interleaved runs differed by up to 6.5x wall. Consequences, cell by cell:
   600k@local[2] (1 run, 747s vs 135.7s r3 best-of-13), 600k@local[32] (all
   samples 332-793s vs 79.4s r3 best-of-20, with uniform per-phase inflation and
   an interleaved 600k@local[8] control in the same window also degrading to
-  333s — i.e. host state, not a code regression), 2.4M@local[8] (1 run, 676s,
-  partially degraded window).
+  333s — i.e. host state, not a code regression; additionally an isolated A/B
+  of the seq machinery alone — `with_global_seq_bucketed` vs the
+  range-shuffle `with_global_seq` on a synthetic 600k-row frame at local[32],
+  run back-to-back in the same epoch — completed in 3.0s vs 4.5s warm, so the
+  round-4 bucketed-seq change is specifically ruled out as the cause),
+  2.4M@local[8] (1 run, 676s, partially degraded window).
 - The 600k rows' efficiency figures above (2->8 "1.62", 8->32 "0.087") and the
   600k Amdahl row are therefore **epoch artifacts** — for the 600k size the
   authoritative numbers remain the 13-20-run interleaved protocol in
