@@ -53,14 +53,41 @@ RUNS_PER_LEVEL = int(os.environ.get("SPARK_SCALING_RUNS", "3"))
 def _session(cores: int):
     from pyspark.sql import SparkSession
 
+    # Multi-executor mode: SPARK_SCALING_EXECUTORS=N switches the master to
+    # local-cluster[N, C, mem] — Spark's testing master that launches N REAL
+    # separate executor JVMs (own heap, own GC, own shuffle/blockmgr, talking
+    # to the driver over loopback). This is the closest in-sandbox analogue
+    # of the north rule's "N vs 4N executors on a multi-executor cluster":
+    # unlike local[K] (one JVM, K task threads), scaling executors here
+    # scales the number of JVMs while holding per-executor size fixed.
+    n_exec = int(os.environ.get("SPARK_SCALING_EXECUTORS", "0"))
+    if n_exec:
+        exec_cores = int(os.environ.get("SPARK_SCALING_EXEC_CORES", "4"))
+        exec_mem = int(os.environ.get("SPARK_SCALING_EXEC_MEM_MB", "7168"))
+        cores = n_exec * exec_cores
+        here = os.path.dirname(os.path.abspath(__file__))
+        builder = (
+            SparkSession.builder
+            .master(f"local-cluster[{n_exec},{exec_cores},{exec_mem}]")
+            .appName(f"scaling-cluster{n_exec}x{exec_cores}")
+            # executor JVMs start bare — ship the repo root so the pickled
+            # vectorized UDFs can import the package (spark-submit --py-files
+            # equivalent for this test master)
+            .config("spark.executorEnv.PYTHONPATH", here)
+        )
+    else:
+        builder = (
+            # local[N,4]: allow 4 task attempts — plain local[N] fails the
+            # whole job on the FIRST task failure, so one transient (a GC'd
+            # broadcast piece, a blockmgr hiccup under host throttle) kills a
+            # 20-minute run; a real cluster always has task retries, so this
+            # matches the modeled environment rather than papering over errors
+            SparkSession.builder.master(f"local[{cores},4]")
+            .appName(f"scaling-local{cores}")
+        )
     return (
-        # local[N,4]: allow 4 task attempts — plain local[N] fails the whole
-        # job on the FIRST task failure, so one transient (a GC'd broadcast
-        # piece, a blockmgr hiccup under host throttle) kills a 20-minute
-        # run; a real cluster always has task retries, so this matches the
-        # modeled environment rather than papering over errors
-        SparkSession.builder.master(f"local[{cores},4]")
-        .appName(f"scaling-local{cores}")
+        builder
+        .config("spark.task.maxFailures", "4")
         .config("spark.sql.shuffle.partitions", str(cores))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
@@ -101,6 +128,9 @@ def worker(cores: int) -> None:
     )
 
     spec = _spec()
+    n_exec = int(os.environ.get("SPARK_SCALING_EXECUTORS", "0"))
+    if n_exec:  # cluster mode: total cores = executors x cores-per-executor
+        cores = n_exec * int(os.environ.get("SPARK_SCALING_EXEC_CORES", "4"))
     spark = _session(cores)
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(PAGES_PATH).persist()
@@ -135,8 +165,12 @@ def worker(cores: int) -> None:
         for k, v in m.phase_ms.items():
             phases[k] = round(phases.get(k, 0.0) + v, 1)
 
+    n_exec = int(os.environ.get("SPARK_SCALING_EXECUTORS", "0"))
     print(json.dumps({
         "cores": cores,
+        **({"executors": n_exec,
+            "exec_cores": int(os.environ.get("SPARK_SCALING_EXEC_CORES", "4")),
+            "mode": "local-cluster"} if n_exec else {}),
         "site_pages": n_pages,
         "pages_fetched": eng.pages_crawled,
         "items": eng.items_count,
@@ -323,47 +357,48 @@ def write_sweep_md(here: str) -> None:
 SWEEP_CONDITIONS_NOTE = """\
 ### Measurement conditions for the shipped sweep dataset (read before the table)
 
-The shared-VM host spent most of the round-4 sweep window in a **system-time
-thrash epoch**: /proc/stat sampled during a slow run shows a machine-wide mean
-of 10% user / 24% sys / 66% idle with 5s intervals at **98% sys** — Spark's
-shuffle/checkpoint syscall path crawls while a pure-userspace 32-proc busy-loop
-probe run in the same window measures a healthy ~22 effective cores. Identical
-interleaved runs differed by up to 6.5x wall. Consequences, cell by cell:
+The sweep dataset spans two host epochs, labeled per-sample in
+`BENCH/sweep_runs.jsonl` by `probe_fops` (a userspace+syscall file-ops probe
+run immediately before each sample; healthy ~75-86k ops/s, absent = unlabeled
+early sample):
 
-- **Calm-epoch cells** (trustworthy min-wall): 600k@local[8] (115.4s; matches
-  the r3 best 107.6s of the 20-run protocol below) and 2.4M@local[32] (268.1s).
-- **Thrash-epoch-only cells** (min-wall still an upper bound, NOT capability):
-  600k@local[2] (1 run, 747s vs 135.7s r3 best-of-13), 600k@local[32] (all
-  samples 332-793s vs 79.4s r3 best-of-20, with uniform per-phase inflation and
-  an interleaved 600k@local[8] control in the same window also degrading to
-  333s — i.e. host state, not a code regression; additionally an isolated A/B
-  of the seq machinery alone — `with_global_seq_bucketed` vs the
-  range-shuffle `with_global_seq` on a synthetic 600k-row frame at local[32],
-  run back-to-back in the same epoch — completed in 3.0s vs 4.5s warm, so the
-  round-4 bucketed-seq change is specifically ruled out as the cause),
-  2.4M@local[8] (1 run, 676s, partially degraded window).
-- The 600k rows' efficiency figures above (2->8 "1.62", 8->32 "0.087") and the
-  600k Amdahl row are therefore **epoch artifacts** — for the 600k size the
-  authoritative numbers remain the 13-20-run interleaved protocol in
-  BENCH/BASELINE.md (8->32 raw eff 0.339, adj 0.542).
+- **Thrash epoch** (most unlabeled early samples): the shared-VM host sat in a
+  system-time thrash state — /proc/stat showed a machine-wide mean of 10% user
+  / 24% sys / 66% idle with 5s intervals at **98% sys**, Spark's
+  shuffle/checkpoint syscall path crawling while a pure-userspace busy-loop
+  probe still measured ~22 effective cores. Identical interleaved runs
+  differed by up to 6.5x wall; an interleaved 600k@local[8] control degraded
+  identically (333s vs its 70.7s calm best), and an isolated back-to-back A/B
+  of the round-4 bucketed-seq change alone (3.0s vs 4.5s warm) ruled out a
+  code regression.
+- **Calm epoch** (post-reboot, fops-labeled 75-86k): every cell was re-sampled
+  and every thrash sample was beaten, at five of six cells decisively. The
+  table's min-wall cells all come from this epoch.
 
-What the sweep DOES establish, on its calm cells:
+Calm-epoch bests (the authoritative sweep numbers): 600k = 124.8s@local[2] /
+70.7s@local[8] / 76.9s@local[32]; 2.4M = 504.5s@local[2] / 246.1s@local[8] /
+251.7s@local[32].
+
+What the calm cells establish:
 
 1. **Absolute throughput rises with job size at the same parallelism**:
-   2.4M pages @local[32] sustained **9,042 URLs/sec** vs the best-ever
-   7,637 URLs/sec at 600k — more pages per round amortizes the fixed
+   2.4M pages sustained **9,851 URLs/sec** @local[8] and 9,629 @local[32] vs
+   8,575 / 7,876 at 600k — more pages per round amortizes the fixed
    single-JVM per-job cost, exactly the Amdahl-fit prediction.
-2. **Per-phase floors amortize**: parse_books (book dedup + item seq) took
-   21.2s for 2.4M books @local[32] vs a 15.8s minimum for 600k books — 4x the
-   data for ~1.3x the time; dequeue_fetch 122.9s for 4x the pages vs 23.5s.
-3. **8->32 efficiency at 2.4M: raw 0.631** (vs 0.339 at 600k), computed from
-   the calm 268.1s @32 cell and the degraded 676.4s @8 cell. The raw ceiling
-   on this VM is 20/8/4 = 0.625, so the measured value saturates the
-   hardware's admissible range (adjusted eff ~1.0). Because the @8 endpoint is
-   a single partially-degraded sample, read this as "consistent with the
-   >=0.8 target at 4x job size", not as a precision measurement; the 600k->2.4M
-   throughput rise in (1), which needs no cross-level ratio, is the robust
-   evidence that efficiency rises with pages-per-round.
+2. **Ceiling-free 2->8 efficiency rises with job size**: raw 0.44 at 600k ->
+   0.51 at 2.4M.
+3. **local[8] now BEATS local[32] at both sizes** (70.7 vs 76.9s; 246.1 vs
+   251.7s): a single local-mode JVM saturates at ~10k URLs/sec past ~8 task
+   threads — one driver, one Python-worker dispatch queue, one blockmgr and
+   GC domain. This is a measurement-harness property, not an engine plan
+   property; the multi-executor local-cluster cells in
+   `BENCH/cluster_runs.jsonl` (separate executor JVMs, loopback shuffle)
+   are the direct test of executor scaling — see the local-cluster section
+   of BENCH/BASELINE.md.
+4. **local[2] throughput is size-invariant** (4,855 vs 4,805 URLs/sec at
+   600k vs 2.4M): at 2 cores the job is compute-bound with a negligible
+   serial term — the per-round fixed cost the Amdahl fit identified is a
+   property of high-parallelism single-JVM scheduling, not of the plans.
 """
 
 
