@@ -1,9 +1,8 @@
-"""Multi-executor scaling cells: the same crawl job on local-cluster[N,4,7g]
-— N real executor JVMs at 4 cores each — for N in {1,2,4,8}, at two job
-sizes. The N=1 -> N=4 pair (4 -> 16 total cores) is the ceiling-free
-N -> 4N EXECUTOR measurement of the north rule; N=2 -> N=8 (8 -> 32) rides
-the VM's ~20-effective-core ceiling at the top end. Appends one JSON line
-per run to BENCH/cluster_runs.jsonl."""
+"""Ceiling-free N -> 4N EXECUTOR pair with 1-core executors:
+local-cluster[4,1,5g] vs local-cluster[16,1,5g] (4 -> 16 total cores, both
+ends below the VM's ~20-effective-core ceiling), at two job sizes. 16
+separate 1-core executor JVMs is the closest sandbox shape to "add 12
+nodes to a 4-node cluster". Appends to BENCH/cluster_runs.jsonl."""
 import json
 import os
 import subprocess
@@ -13,27 +12,14 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RAW = os.path.join(HERE, "BENCH", "cluster_runs.jsonl")
 STOP = os.path.join(HERE, ".work", "STOP")
-# (books, n_executors, timeout_s) — interleaved small->large executor counts
-CELLS = [
-    (600000, 4, 600), (600000, 2, 700), (600000, 8, 600),
-    (2400000, 4, 1200), (2400000, 2, 1800), (2400000, 8, 1200),
-    (2400000, 1, 2400), (600000, 1, 900),
+CELLS = [  # (books, n_executors, timeout_s)
+    (600000, 4, 900), (600000, 16, 600),
+    (2400000, 4, 2400), (2400000, 16, 1200),
 ]
 
 sys.path.insert(0, os.path.join(HERE, ".work"))
 from cell_loop import probe_fops  # noqa: E402
-
-
-def _reap() -> None:
-    """A crashed driver can strand executor JVMs that keep churning CPU and
-    memory for minutes — they poison every later cell (the post-crash cells
-    in the first sweep attempt all died with 'Master removed our
-    application'). Kill anything Spark-shaped that survived its driver."""
-    subprocess.run(["pkill", "-f", "CoarseGrainedExecutorBackend"],
-                   capture_output=True)
-    subprocess.run(["pkill", "-f", "bench_scaling.py --worker"],
-                   capture_output=True)
-    time.sleep(10)
+from cluster_cells import _reap  # noqa: E402
 
 
 def main() -> None:
@@ -43,15 +29,15 @@ def main() -> None:
         env = dict(os.environ,
                    SPARK_SCALING_BOOKS=str(books),
                    SPARK_SCALING_EXECUTORS=str(n_exec),
-                   SPARK_SCALING_EXEC_CORES="4",
-                   SPARK_SCALING_EXEC_MEM_MB="10240")
+                   SPARK_SCALING_EXEC_CORES="1",
+                   SPARK_SCALING_EXEC_MEM_MB="5120")
         fops = probe_fops()
-        print(f"START books={books} executors={n_exec} cap={cap}s "
+        print(f"START books={books} executors={n_exec}x1 cap={cap}s "
               f"fops={fops} at {time.strftime('%H:%M:%S')}", flush=True)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.join(HERE, "bench_scaling.py"),
-                 "--worker", str(4 * n_exec)],
+                 "--worker", str(n_exec)],
                 capture_output=True, text=True, cwd=HERE, env=env,
                 timeout=cap,
             )
@@ -71,7 +57,7 @@ def main() -> None:
         with open(RAW, "a") as f:
             f.write(json.dumps(r) + "\n")
         print(f"DONE {json.dumps(r)}", flush=True)
-    print("CLUSTER CELLS EXIT", flush=True)
+    print("CLUSTER CELLS2 EXIT", flush=True)
 
 
 if __name__ == "__main__":

@@ -66,14 +66,42 @@ def _session(cores: int):
         exec_mem = int(os.environ.get("SPARK_SCALING_EXEC_MEM_MB", "7168"))
         cores = n_exec * exec_cores
         here = os.path.dirname(os.path.abspath(__file__))
+        # the in-process LocalSparkCluster workers inherit the driver env,
+        # and standalone workers override spark.local.dir with
+        # SPARK_LOCAL_DIRS — point executor shuffle/spill at tmpfs like the
+        # local-mode series
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
         builder = (
             SparkSession.builder
             .master(f"local-cluster[{n_exec},{exec_cores},{exec_mem}]")
             .appName(f"scaling-cluster{n_exec}x{exec_cores}")
+            # the master-string MEM is the WORKER's allocatable capacity,
+            # NOT the executor heap — without this the executors launch at
+            # the 1g default (-Xmx1024M observed in /opt/spark/work logs)
+            # and OOM-loop on the html cache
+            .config("spark.executor.memory", f"{exec_mem}m")
             # executor JVMs start bare — ship the repo root so the pickled
             # vectorized UDFs can import the package (spark-submit --py-files
             # equivalent for this test master)
             .config("spark.executorEnv.PYTHONPATH", here)
+            # the page store compresses ~8:1 in parquet, so default 128MB
+            # scan partitions deserialize to >1GB of html strings per task —
+            # at N=1 executor four concurrent cache-build tasks OOM a 7GB
+            # heap (exit 52). Smaller scan splits bound per-task memory;
+            # cluster mode only, to keep local[K] runs comparable with the
+            # r3 series
+            .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+            # html rows are multi-KB, so the default 4096-row reader batches
+            # and 10000-row cache-build batches put hundreds of MB of
+            # WritableColumnVector on the heap PER TASK (observed
+            # OnHeapColumnVector.reserveInternal OOM at 10g executors, exit
+            # 52; the 2.4M site's category index pages reach ~22MB of html
+            # EACH, and at most 14 mega-rows can be consecutive, so 128-row
+            # batches bound a worst-case batch near 300MB). Bounding the
+            # columnar batch row counts bounds per-task memory — the
+            # standard tuning for wide binary/text columns
+            .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+            .config("spark.sql.inMemoryColumnarStorage.batchSize", "128")
         )
     else:
         builder = (
@@ -170,6 +198,8 @@ def worker(cores: int) -> None:
         "cores": cores,
         **({"executors": n_exec,
             "exec_cores": int(os.environ.get("SPARK_SCALING_EXEC_CORES", "4")),
+            "exec_mem_mb": int(
+                os.environ.get("SPARK_SCALING_EXEC_MEM_MB", "7168")),
             "mode": "local-cluster"} if n_exec else {}),
         "site_pages": n_pages,
         "pages_fetched": eng.pages_crawled,
@@ -402,6 +432,78 @@ What the calm cells establish:
 """
 
 
+def write_cluster_md(here: str) -> None:
+    """Render BENCH/CLUSTER.md from BENCH/cluster_runs.jsonl: the
+    multi-executor (local-cluster, separate executor JVMs) measurement of
+    the north rule's N -> 4N EXECUTOR scaling criterion."""
+    raw_path = os.path.join(here, "BENCH", "cluster_runs.jsonl")
+    cells: dict[tuple, list[dict]] = {}
+    with open(raw_path) as f:
+        for line in f:
+            r = json.loads(line)
+            # drop the early mislabeled samples whose executors silently ran
+            # at the 1g default heap (annotated in the jsonl)
+            if r.get("exec_mem_mb", 1024) < 5120:
+                continue
+            key = (r["books"], r["executors"], r.get("exec_cores", 4))
+            cells.setdefault(key, []).append(r)
+    best = {k: min(rs, key=lambda r: r["wall_sec"]) for k, rs in cells.items()}
+    sizes = sorted({b for b, _n, _c in cells})
+    combos = sorted({(n, c) for _b, n, c in cells})
+
+    md = os.path.join(here, "BENCH", "CLUSTER.md")
+    with open(md, "w") as f:
+        f.write(
+            "## Multi-executor scaling (local-cluster: REAL separate "
+            "executor JVMs)\n\n"
+            "`local[K]` runs one JVM with K task threads — one driver, one "
+            "GC domain, one Python-worker dispatch queue — and the sweep "
+            "shows that JVM saturating near 10k URLs/sec regardless of "
+            "thread count. The north rule's criterion is executor scaling, "
+            "so this section re-runs the SAME job on "
+            "`local-cluster[N,4,10g]`: N separate executor JVMs at 4 cores "
+            "each (own heap/GC/blockmgr, loopback network shuffle, repo "
+            "shipped to executors via PYTHONPATH — the spark-submit "
+            "--py-files equivalent). Scaling N holds per-executor "
+            "resources fixed, exactly like adding nodes to a cluster.\n\n"
+            "| books | executors x cores | total cores | best wall (s) | "
+            "URLs/sec | runs |\n| --- | --- | --- | --- | --- | --- |\n"
+        )
+        for b in sizes:
+            for n, c in combos:
+                r = best.get((b, n, c))
+                if r is None:
+                    continue
+                f.write(
+                    f"| {b:,} | {n}x{c} | {n * c} | {r['wall_sec']} "
+                    f"| {r['urls_per_sec']} | {len(cells[(b, n, c)])} |\n"
+                )
+        f.write("\n")
+        for b in sizes:
+            for a_n, a_c in combos:
+                lo, hi = best.get((b, a_n, a_c)), best.get((b, 4 * a_n, a_c))
+                if lo is None or hi is None:
+                    continue
+                ratio = hi["urls_per_sec"] / lo["urls_per_sec"]
+                # effective-core ceiling: ~20 cores machine-wide
+                cap = (min(4 * a_n * a_c, 20.0) / min(a_n * a_c, 20.0))
+                f.write(
+                    f"**{b:,} books, {a_n} -> {4 * a_n} executors "
+                    f"({a_c} cores each, N -> 4N): "
+                    f"raw efficiency {ratio / 4:.3f}**"
+                    + (
+                        f" (adjusted for the VM's ~20-effective-core "
+                        f"ceiling, max speedup {cap:.2f}x: "
+                        f"{ratio / cap:.3f})"
+                        if cap < 4
+                        else ""
+                    )
+                    + f" — {lo['urls_per_sec']:,.0f} -> "
+                    f"{hi['urls_per_sec']:,.0f} URLs/sec.\n\n"
+                )
+    print(f"-> {md}")
+
+
 def write_md(here: str, runs: dict[int, list[dict]]) -> None:
     runs = {c: rs for c, rs in runs.items() if rs}  # drop all-failed levels
     levels = sorted(runs)
@@ -540,6 +642,10 @@ def write_md(here: str, runs: dict[int, list[dict]]) -> None:
                 )
                 + "\n"
             )
+        cluster_md = os.path.join(here, "BENCH", "CLUSTER.md")
+        if os.path.exists(cluster_md):
+            with open(cluster_md) as cf:
+                f.write(cf.read() + "\n")
         sweep_md = os.path.join(here, "BENCH", "SIZE_SWEEP.md")
         if os.path.exists(sweep_md):
             with open(sweep_md) as sf:
@@ -586,11 +692,23 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--sweep-md":
         here = os.path.dirname(os.path.abspath(__file__))
         write_sweep_md(here)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cluster-md":
+        write_cluster_md(os.path.dirname(os.path.abspath(__file__)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--rewrite-md":
-        # regenerate BENCH/BASELINE.md from previously saved raw runs
+        # regenerate BENCH/BASELINE.md from previously saved raw runs,
+        # folding in any same-size single-JVM samples the size sweep
+        # collected (same worker, same input — just logged to
+        # sweep_runs.jsonl instead of scaling_runs.json)
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH", "scaling_runs.json")) as f:
             raw = json.load(f)
+        sweep_path = os.path.join(here, "BENCH", "sweep_runs.jsonl")
+        if os.path.exists(sweep_path):
+            with open(sweep_path) as f:
+                for line in f:
+                    r = json.loads(line)
+                    if r.get("books") == N_BOOKS and "mode" not in r:
+                        raw.setdefault(str(r["cores"]), []).append(r)
         write_md(here, {int(c): rs for c, rs in raw.items()})
     else:
         main()
