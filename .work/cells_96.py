@@ -1,0 +1,78 @@
+"""9.6M-page executor-scaling cells — the job-size end point of the
+amortization experiment.
+
+The 600k -> 2.4M trend shows N -> 4N executor efficiency rising with
+pages-per-round (1x4 -> 4x4: 0.19 -> 0.55; 4x1 -> 16x1: 0.64 at 2.4M).
+This runs the same two ceiling-free pairs at 9.6M books (~9.7M pages) to
+test whether the trend continues toward the >=0.8 target. Decisive pair
+first; loops for second samples until DEADLINE or .work/STOP96.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RAW = os.path.join(HERE, "BENCH", "cluster_runs.jsonl")
+STOP = os.path.join(HERE, ".work", "STOP96")
+DEADLINE = time.time() + float(os.environ.get("CELL_LOOP_HOURS", "2.6")) * 3600
+
+sys.path.insert(0, os.path.join(HERE, ".work"))
+from cell_loop import probe_fops  # noqa: E402
+from cluster_cells import _reap  # noqa: E402
+
+# (books, n_executors, exec_cores, exec_mem_mb, timeout_s)
+CELLS = [
+    (9600000, 4, 4, 10240, 3000),   # decisive pair, high end
+    (9600000, 1, 4, 10240, 6600),   # decisive pair, low end
+    (9600000, 16, 1, 5120, 3000),   # 1-core-executor pair, high end
+    (9600000, 4, 1, 5120, 6600),    # 1-core-executor pair, low end
+]
+
+
+def main() -> None:
+    while time.time() < DEADLINE and not os.path.exists(STOP):
+        for books, n_exec, c, mem, cap in CELLS:
+            if time.time() + cap > DEADLINE or os.path.exists(STOP):
+                break
+            env = dict(os.environ,
+                       SPARK_SCALING_BOOKS=str(books),
+                       SPARK_SCALING_EXECUTORS=str(n_exec),
+                       SPARK_SCALING_EXEC_CORES=str(c),
+                       SPARK_SCALING_EXEC_MEM_MB=str(mem))
+            fops = probe_fops()
+            print(f"START books={books} cell={n_exec}x{c} mem={mem} "
+                  f"cap={cap}s fops={fops} at {time.strftime('%H:%M:%S')}",
+                  flush=True)
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.join(HERE, "bench_scaling.py"),
+                     "--worker", str(n_exec * c)],
+                    capture_output=True, text=True, cwd=HERE, env=env,
+                    timeout=cap,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"TIMEOUT {n_exec}x{c} after {cap}s", flush=True)
+                _reap()
+                continue
+            if out.returncode != 0:
+                print(f"FAILED rc={out.returncode}\n"
+                      + "\n".join(out.stderr.strip().splitlines()[-15:]),
+                      flush=True)
+                _reap()
+                continue
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            r["books"] = books
+            r["probe_fops"] = fops
+            with open(RAW, "a") as f:
+                f.write(json.dumps(r) + "\n")
+            print(f"DONE {json.dumps(r)}", flush=True)
+        else:
+            continue
+        break
+    print("CELLS96 EXIT", flush=True)
+
+
+if __name__ == "__main__":
+    main()
