@@ -4,8 +4,18 @@ amortization experiment.
 The 600k -> 2.4M trend shows N -> 4N executor efficiency rising with
 pages-per-round (1x4 -> 4x4: 0.19 -> 0.55; 4x1 -> 16x1: 0.64 at 2.4M).
 This runs the same two ceiling-free pairs at 9.6M books (~9.7M pages) to
-test whether the trend continues toward the >=0.8 target. Decisive pair
-first; loops for second samples until DEADLINE or .work/STOP96.
+test whether the trend continues toward the >=0.8 target.
+
+The 9.6M site needs two I/O settings the smaller cells didn't (first
+attempt OOM-looped executors): 4-row columnar batches (14 file-adjacent
+~90MB category mega-pages -> a 128-row batch is ~1.3GB on-heap) and a
+DISK_ONLY page-store cache (~30GB raw html exceeds aggregate executor
+storage memory; tmpfs-backed disk is still RAM-speed bytes). A 2.4M
+verification pair runs under the SAME settings at the end of each pass so
+the cross-size trend has like-configured points.
+
+Decisive pair first; loops for second samples until DEADLINE or
+.work/STOP96.
 """
 import json
 import os
@@ -16,18 +26,31 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RAW = os.path.join(HERE, "BENCH", "cluster_runs.jsonl")
 STOP = os.path.join(HERE, ".work", "STOP96")
+FAILLOG = os.path.join(HERE, ".work", "cells96_fail.log")
 DEADLINE = time.time() + float(os.environ.get("CELL_LOOP_HOURS", "2.6")) * 3600
 
 sys.path.insert(0, os.path.join(HERE, ".work"))
 from cell_loop import probe_fops  # noqa: E402
 from cluster_cells import _reap  # noqa: E402
 
-# (books, n_executors, exec_cores, exec_mem_mb, timeout_s)
+# (books, n_executors, exec_cores, exec_mem_mb, timeout_s). The new I/O
+# settings measured 2.2x faster than the recorded 600k 4x4 best (42.4s vs
+# 94.4s) — the in-heap columnar cache build was a dominant cost — so EVERY
+# cell is re-measured under them: the cross-size table must compare
+# like-configured cells. 9.6M decisive pair first.
 CELLS = [
-    (9600000, 4, 4, 10240, 3000),   # decisive pair, high end
-    (9600000, 1, 4, 10240, 6600),   # decisive pair, low end
-    (9600000, 16, 1, 5120, 3000),   # 1-core-executor pair, high end
-    (9600000, 4, 1, 5120, 6600),    # 1-core-executor pair, low end
+    (9600000, 4, 4, 10240, 3600),   # decisive pair, high end
+    (9600000, 1, 4, 10240, 7200),   # decisive pair, low end
+    (9600000, 16, 1, 5120, 3600),   # 1-core-executor pair, high end
+    (9600000, 4, 1, 5120, 7200),    # 1-core-executor pair, low end
+    (2400000, 4, 4, 10240, 900),
+    (2400000, 1, 4, 10240, 1800),
+    (2400000, 16, 1, 5120, 1000),
+    (2400000, 4, 1, 5120, 2100),
+    (600000, 4, 4, 10240, 400),
+    (600000, 1, 4, 10240, 700),
+    (600000, 16, 1, 5120, 500),
+    (600000, 4, 1, 5120, 800),
 ]
 
 
@@ -40,7 +63,9 @@ def main() -> None:
                        SPARK_SCALING_BOOKS=str(books),
                        SPARK_SCALING_EXECUTORS=str(n_exec),
                        SPARK_SCALING_EXEC_CORES=str(c),
-                       SPARK_SCALING_EXEC_MEM_MB=str(mem))
+                       SPARK_SCALING_EXEC_MEM_MB=str(mem),
+                       SPARK_SCALING_READER_BATCH="4",
+                       SPARK_SCALING_STORE_LEVEL="disk")
             fops = probe_fops()
             print(f"START books={books} cell={n_exec}x{c} mem={mem} "
                   f"cap={cap}s fops={fops} at {time.strftime('%H:%M:%S')}",
@@ -57,8 +82,12 @@ def main() -> None:
                 _reap()
                 continue
             if out.returncode != 0:
-                print(f"FAILED rc={out.returncode}\n"
-                      + "\n".join(out.stderr.strip().splitlines()[-15:]),
+                with open(FAILLOG, "a") as f:
+                    f.write(f"==== {books} {n_exec}x{c} rc={out.returncode} "
+                            f"{time.strftime('%H:%M:%S')}\n{out.stderr}\n")
+                print(f"FAILED rc={out.returncode} (full stderr -> "
+                      f"{FAILLOG})\n"
+                      + "\n".join(out.stderr.strip().splitlines()[-8:]),
                       flush=True)
                 _reap()
                 continue

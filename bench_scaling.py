@@ -48,6 +48,13 @@ PAGES_PATH = os.environ.get(
 BOOKS_PER_PAGE = 100
 LEVELS = [int(x) for x in os.environ.get("SPARK_SCALING_LEVELS", "2,8,32").split(",")]
 RUNS_PER_LEVEL = int(os.environ.get("SPARK_SCALING_RUNS", "3"))
+# cluster-mode columnar batch rows (reader + in-memory cache build); see the
+# _session comment — must shrink as the site's mega-page size grows
+READER_BATCH = os.environ.get("SPARK_SCALING_READER_BATCH", "128")
+# "disk" caches the page store DISK_ONLY (tmpfs-backed, so still RAM-speed
+# bytes) instead of in-heap columnar — required once the store outgrows the
+# executors' aggregate storage memory (9.6M books ~= 30GB raw html)
+STORE_LEVEL = os.environ.get("SPARK_SCALING_STORE_LEVEL", "memdisk")
 
 
 def _session(cores: int):
@@ -99,9 +106,16 @@ def _session(cores: int):
             # EACH, and at most 14 mega-rows can be consecutive, so 128-row
             # batches bound a worst-case batch near 300MB). Bounding the
             # columnar batch row counts bounds per-task memory — the
-            # standard tuning for wide binary/text columns
-            .config("spark.sql.parquet.columnarReaderBatchSize", "128")
-            .config("spark.sql.inMemoryColumnarStorage.batchSize", "128")
+            # standard tuning for wide binary/text columns. The knob is
+            # env-tunable because the bound scales with the SITE size: the
+            # mega category pages grow linearly with n_books (~90MB each at
+            # 9.6M books) and up to n_categories=14 of them are file-adjacent,
+            # so a 128-row batch admits a 14 x 90MB = 1.3GB batch at 9.6M
+            # (observed heap-space OOM at 10g executors); 4-row batches
+            # bound it near 360MB. Default preserves the recorded 600k/2.4M
+            # cell behavior.
+            .config("spark.sql.parquet.columnarReaderBatchSize", READER_BATCH)
+            .config("spark.sql.inMemoryColumnarStorage.batchSize", READER_BATCH)
         )
     else:
         builder = (
@@ -161,7 +175,12 @@ def worker(cores: int) -> None:
         cores = n_exec * int(os.environ.get("SPARK_SCALING_EXEC_CORES", "4"))
     spark = _session(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    pages = spark.read.parquet(PAGES_PATH).persist()
+    if STORE_LEVEL == "disk":
+        from pyspark import StorageLevel
+
+        pages = spark.read.parquet(PAGES_PATH).persist(StorageLevel.DISK_ONLY)
+    else:
+        pages = spark.read.parquet(PAGES_PATH).persist()
     n_pages = pages.count()
 
     # warm the Python-worker pool / Arrow / codegen paths so the timed
@@ -201,6 +220,11 @@ def worker(cores: int) -> None:
             "exec_mem_mb": int(
                 os.environ.get("SPARK_SCALING_EXEC_MEM_MB", "7168")),
             "mode": "local-cluster"} if n_exec else {}),
+        # non-default I/O knobs ride in the record so min-wall merges only
+        # compare like-configured samples (absent keys == the defaults every
+        # pre-r4 sample ran with)
+        **({"reader_batch": int(READER_BATCH)} if READER_BATCH != "128" else {}),
+        **({"store_level": STORE_LEVEL} if STORE_LEVEL != "memdisk" else {}),
         "site_pages": n_pages,
         "pages_fetched": eng.pages_crawled,
         "items": eng.items_count,
