@@ -53,8 +53,17 @@ RUNS_PER_LEVEL = int(os.environ.get("SPARK_SCALING_RUNS", "3"))
 READER_BATCH = os.environ.get("SPARK_SCALING_READER_BATCH", "128")
 # "disk" caches the page store DISK_ONLY (tmpfs-backed, so still RAM-speed
 # bytes) instead of in-heap columnar — required once the store outgrows the
-# executors' aggregate storage memory (9.6M books ~= 30GB raw html)
+# executors' aggregate storage memory (9.6M books ~= 30GB raw html).
+# "none" skips the cache entirely: every round re-scans the parquet store
+# with pushdown — the honest analogue of a 100TB Iceberg store, which is
+# never cached; required once even the DISK_ONLY bytes don't fit (the 9.6M
+# site's ~30GB raw html on tmpfs "disk" IS RAM, and the kernel OOM-killer
+# took the whole box down: dmesg global_oom at the 9.6M 16x1 cell).
 STORE_LEVEL = os.environ.get("SPARK_SCALING_STORE_LEVEL", "memdisk")
+# Where shuffle/spill/DISK_ONLY blocks live. tmpfs default matches every
+# recorded pre-r4 sample; the 9.6M cells point this at the real disk so
+# spilled bytes stop competing with JVM heaps for physical RAM.
+LOCAL_DIR = os.environ.get("SPARK_SCALING_LOCAL_DIR", "/dev/shm/spark-local")
 
 
 def _session(cores: int):
@@ -77,7 +86,7 @@ def _session(cores: int):
         # and standalone workers override spark.local.dir with
         # SPARK_LOCAL_DIRS — point executor shuffle/spill at tmpfs like the
         # local-mode series
-        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+        os.environ["SPARK_LOCAL_DIRS"] = LOCAL_DIR
         builder = (
             SparkSession.builder
             .master(f"local-cluster[{n_exec},{exec_cores},{exec_mem}]")
@@ -137,7 +146,7 @@ def _session(cores: int):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_SCALING_DRIVER_MEM", "24g"))
-        .config("spark.local.dir", "/dev/shm/spark-local")
+        .config("spark.local.dir", LOCAL_DIR)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -175,7 +184,9 @@ def worker(cores: int) -> None:
         cores = n_exec * int(os.environ.get("SPARK_SCALING_EXEC_CORES", "4"))
     spark = _session(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    if STORE_LEVEL == "disk":
+    if STORE_LEVEL == "none":
+        pages = spark.read.parquet(PAGES_PATH)
+    elif STORE_LEVEL == "disk":
         from pyspark import StorageLevel
 
         pages = spark.read.parquet(PAGES_PATH).persist(StorageLevel.DISK_ONLY)
@@ -225,6 +236,8 @@ def worker(cores: int) -> None:
         # pre-r4 sample ran with)
         **({"reader_batch": int(READER_BATCH)} if READER_BATCH != "128" else {}),
         **({"store_level": STORE_LEVEL} if STORE_LEVEL != "memdisk" else {}),
+        **({"local_dir": LOCAL_DIR}
+           if LOCAL_DIR != "/dev/shm/spark-local" else {}),
         "site_pages": n_pages,
         "pages_fetched": eng.pages_crawled,
         "items": eng.items_count,
