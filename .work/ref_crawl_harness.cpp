@@ -9,8 +9,8 @@
 // stdout is fragile — instead http_get logs each request), then
 // "BOOK\t<b64 title>\t<b64 price>\t<b64 rating>\t<b64 url>" per collected
 // book in order, then "END".
-#include "../../reference/include/HtmlParser.h"
-#include "../../reference/include/Crawler.h"
+#include "/root/reference/include/HtmlParser.h"
+#include "/root/reference/include/Crawler.h"
 #include <fstream>
 #include <iostream>
 #include <map>

@@ -3,7 +3,7 @@
 // read from stdin, so the Python kernels can be compared byte-for-byte.
 // Protocol: each request is "<op>\t<base64 html>\t<arg...>\n"; response is
 // one line of tab-separated base64 fields.
-#include "../../reference/include/HtmlParser.h"
+#include "/root/reference/include/HtmlParser.h"
 std::string parse_rating(const std::string& rating_class);  // defined in HtmlParser.cpp, not in header
 #include <iostream>
 #include <sstream>

@@ -52,9 +52,16 @@ from .seq import (
     range_bucket_expr,
     with_global_seq,
     with_global_seq_bucketed,
+    with_global_seq_known_counts,
     with_grouped_rank,
     with_prefix_sum,
 )
+
+# largest seen-or-duplicated book-canonical population AND largest loser-row
+# kill list (2 longs/row) for which the books plan resolves dedup via
+# broadcast; beyond either bound the two-shuffle wide anti-join + window
+# fallback runs instead
+TROUBLE_BROADCAST_MAX = 2_000_000
 
 FRONTIER_SCHEMA = (
     "seq long, path string, url string, canonical string, host string, "
@@ -107,6 +114,7 @@ class CrawlEngine:
         bloom_shard_threshold: int = 5_000_000,
         use_expr_kernels: bool = True,
         table_format=None,
+        pin_storage_level: "StorageLevel | None" = None,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -130,6 +138,7 @@ class CrawlEngine:
             table_format = ParquetAdapter()
         self.table_format = table_format
         self.use_bloom = use_bloom
+        self.pin_storage_level = pin_storage_level
         self.n_part = num_partitions or spark.sparkContext.defaultParallelism
         self.broadcast_threshold = broadcast_threshold
         # data-driven robots rules: (host string, prefix string) = disallowed
@@ -201,7 +210,21 @@ class CrawlEngine:
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """Truncate lineage between rounds (iterative plans otherwise grow
-        unboundedly). Disk checkpointing happens separately per round."""
+        unboundedly). Disk checkpointing happens separately per round.
+
+        ``pin_storage_level`` tunes where the pinned blocks live. The
+        default (None -> Spark's MEMORY_AND_DISK_DESER) is right when the
+        aggregate executor heap comfortably exceeds the round's pinned
+        state; on memory-tight clusters pass e.g.
+        ``StorageLevel.MEMORY_AND_DISK`` (serialized, ~3-5x smaller for
+        string-heavy frontier rows) or ``DISK_ONLY`` — deserialized pins
+        compete for the same heap the parquet reader's untracked batch
+        buffers allocate from (observed: a 9.6M-page round OOMs a single
+        16g executor in VectorizedPlainValuesReader while 4x16g survives)."""
+        if self.pin_storage_level is not None:
+            return df.localCheckpoint(
+                eager=True, storageLevel=self.pin_storage_level
+            )
         return df.localCheckpoint(eager=True)
 
     def seed(self, start_paths: list[str]) -> "CrawlEngine":
@@ -564,30 +587,19 @@ class CrawlEngine:
             .withColumn("canonical_url", self._canonical_col("url"))
         )
         book_seen = self.items.select("canonical_url")
-        fresh = pods.join(book_seen, "canonical_url", "left_anti")
-        wb = Window.partitionBy("canonical_url").orderBy("parent_seq", "book_rank")
-        fresh = (
-            fresh.withColumn("_rn", F.row_number().over(wb))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        # materialization plan: small rounds pin once, after the
-        # one-shuffle window seq; big rounds shuffle straight into the
-        # bucketed seq's internal pin (sampling-free — the old pre-pin the
-        # repartitionByRange sampling forced is gone) and pin the stamped
-        # output once more, since items is re-read every later round. The
-        # size hint is the pre-dedup book total already in the parse stats
-        # — never an extra count job.
-        fresh = fresh.select(
-            "parent_seq", "book_rank", "url", "canonical_url",
-            "title", "price", "rating",
-            self._price_col("price").alias("price_value"),
-            X.rating_value_expr(F.col("rating")).alias("rating_value"),
-            X.classify_item_type_expr(X.url_host_expr(F.col("url"))).alias(
-                "item_type"
-            ),
-            F.lit(self.round_num).alias("round"),
-        )
+
+        def _dedup_select(df):
+            return df.select(
+                "parent_seq", "book_rank", "url", "canonical_url",
+                "title", "price", "rating",
+                self._price_col("price").alias("price_value"),
+                X.rating_value_expr(F.col("rating")).alias("rating_value"),
+                X.classify_item_type_expr(X.url_host_expr(F.col("url"))).alias(
+                    "item_type"
+                ),
+                F.lit(self.round_num).alias("round"),
+            )
+
         item_cols = [
             "item_seq", "parent_seq", "book_rank", "url", "canonical_url",
             "title", "price", "rating", "price_value", "rating_value",
@@ -597,6 +609,17 @@ class CrawlEngine:
         # runtime overrides of seq.SMALL_SEQ_ROWS exactly like seq.py's own
         # gates do (tests monkeypatch it to force the scale path)
         if n_books_upper < seq_mod.SMALL_SEQ_ROWS:
+            # small rounds: seen anti-join + first-wins window + one-shuffle
+            # window seq, pinned once
+            wb = Window.partitionBy("canonical_url").orderBy(
+                "parent_seq", "book_rank"
+            )
+            fresh = _dedup_select(
+                pods.join(book_seen, "canonical_url", "left_anti")
+                .withColumn("_rn", F.row_number().over(wb))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
             new_items = self._pin(
                 with_global_seq(
                     fresh, ["parent_seq", "book_rank"], start=self.items_count,
@@ -606,19 +629,128 @@ class CrawlEngine:
             )
             new_item_count = new_items.count()  # cheap: reads pinned blocks
         else:
-            # big rounds: sampling-free bucketed seq — the UDF-heavy dedup
-            # plan executes exactly ONCE (into the seq shuffle's pin; the
-            # old repartitionByRange path SAMPLED its input, which forced a
-            # whole extra pre-pin materialization per round), and the row
-            # total falls out of the offsets pass — no count job
-            stamped, new_item_count = with_global_seq_bucketed(
-                fresh, ["parent_seq", "book_rank"],
-                range_bucket_expr("parent_seq", seq_lo, seq_hi,
-                                  8 * self.n_part),
-                n_buckets=8 * self.n_part, n_partitions=self.n_part,
-                start=self.items_count, seq_col="item_seq",
+            # big rounds: ONE wide shuffle, ONE wide pin. The old plan
+            # shuffled the wide pod rows twice (canonical-hash for the seen
+            # anti-join + first-wins window, then bucket-hash for the seq)
+            # and pinned twice (the bucketed seq's internal offsets pin plus
+            # the stamped output). Instead a NARROW side-channel — a
+            # 3-column projection of the same pinned parse (Catalyst prunes
+            # the pod struct down to canonical_url/parent_seq/book_rank) —
+            # computes in one map-side-combined aggregation: (a) per-bucket
+            # SURVIVOR counts, which feed the seq stamp's offsets so the
+            # wide rows shuffle once, straight into the final pin, with no
+            # internal pin and no counts job; (b) the "trouble" canonicals
+            # (seen before, or duplicated this round), whose loser rows are
+            # anti-joined away via a broadcast kill list. The seen anti-join
+            # thus probes with ~90B/row keys instead of full pod rows — at
+            # steady state `seen` is the crawl's whole history, so the probe
+            # side's width is the term that matters. Dedup semantics are
+            # byte-identical (goldens + equivalence tests): survivor = row
+            # whose canonical is unseen AND equals min(parent_seq,book_rank)
+            # within its canonical group.
+            bucket = range_bucket_expr(
+                "parent_seq", seq_lo, seq_hi, 8 * self.n_part
             )
-            new_items = self._pin(stamped.select(*item_cols))
+            narrow = pods.select("canonical_url", "parent_seq", "book_rank")
+            percanon = narrow.groupBy("canonical_url").agg(
+                F.min(F.struct("parent_seq", "book_rank")).alias("_w"),
+                F.count("*").alias("_cnt"),
+            )
+            pc = percanon.join(
+                book_seen.withColumn("_seen", F.lit(1)),
+                "canonical_url",
+                "left",
+            )
+            wbucket = range_bucket_expr(
+                "_w.parent_seq", seq_lo, seq_hi, 8 * self.n_part
+            )
+            bstats = (
+                pc.groupBy(wbucket.cast("int").alias("_bkt"))
+                .agg(
+                    F.sum(
+                        F.when(F.col("_seen").isNull(), 1).otherwise(0)
+                    ).alias("surv"),
+                    F.sum(
+                        F.when(
+                            (F.col("_cnt") > 1) | F.col("_seen").isNotNull(),
+                            1,
+                        ).otherwise(0)
+                    ).alias("trouble"),
+                    # exact kill-list cardinality: every row of a trouble
+                    # canonical dies except the winner of an unseen one —
+                    # the guard must bound what actually BROADCASTS (loser
+                    # rows), not the canonical count, or a heavy-dup round
+                    # (few canonicals, many rows each) slips past it
+                    F.sum(
+                        F.when(F.col("_seen").isNotNull(), F.col("_cnt"))
+                        .when(F.col("_cnt") > 1, F.col("_cnt") - 1)
+                        .otherwise(0)
+                    ).alias("kill_rows"),
+                )
+                .collect()
+            )
+            dmark("b.narrow_stats")
+            bucket_counts = {
+                r["_bkt"]: r["surv"] for r in bstats if r["surv"] > 0
+            }
+            n_trouble = sum(r["trouble"] for r in bstats)
+            n_kill = sum(r["kill_rows"] for r in bstats)
+            new_item_count = sum(bucket_counts.values())
+            if n_trouble == 0:
+                # common crawl round: every pod is a fresh, unique canonical
+                # — no kill join at all
+                wide_kept = pods
+            elif max(n_trouble, n_kill) <= TROUBLE_BROADCAST_MAX:
+                trouble_canons = pc.filter(
+                    (F.col("_cnt") > 1) | F.col("_seen").isNotNull()
+                ).select("canonical_url", "_w", "_seen")
+                kill = (
+                    narrow.join(
+                        F.broadcast(trouble_canons), "canonical_url", "inner"
+                    )
+                    .filter(
+                        F.col("_seen").isNotNull()
+                        | (
+                            F.struct("parent_seq", "book_rank")
+                            != F.col("_w")
+                        )
+                    )
+                    .select("parent_seq", "book_rank")
+                )
+                wide_kept = pods.join(
+                    F.broadcast(kill), ["parent_seq", "book_rank"],
+                    "left_anti",
+                )
+            else:
+                # adversarial duplication/revisit volume: the kill list
+                # would not broadcast — fall back to the two-shuffle plan
+                # (wide canonical-hash anti-join + window, bucketed seq with
+                # its internal pin); values identical either way
+                wb = Window.partitionBy("canonical_url").orderBy(
+                    "parent_seq", "book_rank"
+                )
+                fresh = _dedup_select(
+                    pods.join(book_seen, "canonical_url", "left_anti")
+                    .withColumn("_rn", F.row_number().over(wb))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+                stamped, new_item_count = with_global_seq_bucketed(
+                    fresh, ["parent_seq", "book_rank"],
+                    bucket, n_buckets=8 * self.n_part,
+                    n_partitions=self.n_part,
+                    start=self.items_count, seq_col="item_seq",
+                )
+                wide_kept = None
+                new_items = self._pin(stamped.select(*item_cols))
+            if wide_kept is not None:
+                stamped = with_global_seq_known_counts(
+                    _dedup_select(wide_kept), ["parent_seq", "book_rank"],
+                    bucket, bucket_counts, start=self.items_count,
+                    seq_col="item_seq", n_partitions=self.n_part,
+                )
+                new_items = self._pin(stamped.select(*item_cols))
+            dmark("b.final_pin")
         dmark("b.seq_pin")
         self._item_parts.append(new_items)
         self.items = self.items.unionByName(new_items)  # lazy over pinned parts

@@ -182,6 +182,75 @@ def with_global_seq_bucketed(
     return parted.mapInPandas(stamp, schema), total
 
 
+def with_global_seq_known_counts(
+    df: DataFrame,
+    order_cols: list[str],
+    bucket_expr,
+    bucket_counts: dict[int, int],
+    start: int = 0,
+    seq_col: str = "seq",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Zero-materialization twin of :func:`with_global_seq_bucketed` for
+    callers that ALREADY KNOW the per-bucket row counts (e.g. from a narrow
+    side-channel aggregation over the same logical rows — the books plan
+    derives survivor counts per bucket from a 3-column pass before the wide
+    rows ever shuffle).
+
+    Both other seq paths must pin their shuffle so the offsets pass and the
+    stamp pass see identical data; with the counts supplied, the pin and the
+    counts job disappear — the caller gets a LAZY stamped frame (one hash
+    shuffle on the bucket id + in-partition sort + mapInPandas) and decides
+    itself where to materialize. Same contract as the bucketed twin:
+    ``bucket_expr`` values in [0, n_buckets-ish), monotone non-decreasing in
+    ``order_cols`` order, each bucket wholly in one partition (hash
+    placement); ``order_cols`` a unique key. ``bucket_counts`` MUST be the
+    exact per-bucket cardinalities of ``df`` — a mismatch misnumbers rows,
+    so callers derive both from one narrow plan and keep goldens over the
+    result (tests assert equality with :func:`with_global_seq` under dups,
+    skew, and adversarial bucketings).
+    """
+    import pandas as pd
+
+    offsets: dict[int, int] = {}
+    acc = start
+    for b in sorted(bucket_counts):
+        offsets[b] = acc
+        acc += bucket_counts[b]
+
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    parted = (
+        df.withColumn("_bkt", bucket_expr.cast("int"))
+        .repartition(n, F.col("_bkt"))
+        .sortWithinPartitions("_bkt", *order_cols)
+    )
+    schema = parted.drop("_bkt").schema.add(seq_col, "long")
+    cols = [f.name for f in schema.fields]
+
+    # closure-captured offsets, not sc.broadcast — same lifetime rationale
+    # as the other stamps. ≤ n_buckets entries.
+    def stamp(batches):
+        carried: dict = {}  # bucket -> rows already stamped this partition
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.drop(columns=["_bkt"])
+            local = pdf.groupby("_bkt", sort=False).cumcount().to_numpy()
+            base = {
+                int(b): offsets[int(b)] + carried.get(int(b), 0)
+                for b in pdf["_bkt"].unique()
+            }
+            out[seq_col] = (
+                pdf["_bkt"].map(base).to_numpy(dtype="int64") + local
+            )
+            for b, c in pdf.groupby("_bkt", sort=False).size().items():
+                carried[int(b)] = carried.get(int(b), 0) + int(c)
+            yield pd.DataFrame(out, columns=cols)
+
+    return parted.mapInPandas(stamp, schema)
+
+
 def range_bucket_expr(col: str, lo: int, hi: int, n_buckets: int):
     """[0, n_buckets) bucket of ``col`` over the known value range
     [lo, hi] — the order-aligned bucket for :func:`with_global_seq_bucketed`

@@ -264,3 +264,128 @@ def test_embedding_near_dup_dim_param(spark):
         (r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()
     )
     assert key(with_dim) == key(without)
+
+
+# --------------------------------------------- books one-shuffle scale plan
+
+
+def test_known_counts_seq_matches_window_seq(spark):
+    """with_global_seq_known_counts (the zero-materialization stamp fed by
+    externally derived per-bucket counts) assigns the identical sequence as
+    with_global_seq for any valid bucketing, balanced or fully skewed."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from distributed_web_scrapper_and_crawler_c__spark.plans.seq import (
+        range_bucket_expr,
+        with_global_seq,
+        with_global_seq_known_counts,
+    )
+
+    rng = random.Random(11)
+    rows = list({(rng.randrange(50), rng.randrange(400)) for _ in range(3000)})
+    df = spark.createDataFrame(
+        [(a, b, f"v{a}_{b}") for a, b in rows], "a long, b long, v string"
+    )
+    want = {
+        (r["a"], r["b"]): r["seq"]
+        for r in with_global_seq(
+            df, ["a", "b"], start=7, approx_rows=1
+        ).collect()
+    }
+
+    def counts_for(bexpr):
+        return {
+            r["_b"]: r["c"]
+            for r in df.groupBy(bexpr.cast("int").alias("_b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+
+    variants = [
+        (range_bucket_expr("a", 0, 49, 13), 5),   # balanced
+        (range_bucket_expr("a", 0, 49, 96), 8),   # buckets >> parts
+        (F.lit(0), 4),                            # fully skewed: one bucket
+    ]
+    for bexpr, np_ in variants:
+        got = {
+            (r["a"], r["b"]): r["seq"]
+            for r in with_global_seq_known_counts(
+                df, ["a", "b"], bexpr, counts_for(bexpr), start=7,
+                n_partitions=np_,
+            ).collect()
+        }
+        assert got == want
+
+
+def _assert_books_match_oracle(eng, res):
+    assert eng.crawl_order() == res.crawl_order
+    assert {r["canonical"] for r in eng.seen.collect()} == res.processed
+    got = [
+        (r["item_seq"], r["title"], r["price"], r["rating"], r["url"])
+        for r in eng.items.orderBy("item_seq").collect()
+    ]
+    assert got == [
+        (i, b.title, b.price, b.rating, b.url) for i, b in enumerate(res.books)
+    ]
+    assert eng.items_count == len(res.books)
+
+
+def test_books_scale_path_matches_oracle(spark, pages, pages_map):
+    """Forcing every seq gate onto the scale path routes books through the
+    narrow-stats one-shuffle plan (the fixture has cross-round seen hits:
+    category pages re-list books found on listing pages — so the broadcast
+    kill list is exercised, not just the no-trouble fast path). Byte-exact
+    item order against the oracle."""
+    from distributed_web_scrapper_and_crawler_c__spark.plans import seq as seq_mod
+
+    old = seq_mod.SMALL_SEQ_ROWS
+    seq_mod.SMALL_SEQ_ROWS = 0
+    try:
+        eng = _run(spark, pages)
+    finally:
+        seq_mod.SMALL_SEQ_ROWS = old
+    _assert_books_match_oracle(eng, crawl_oracle.crawl(pages_map))
+
+
+def test_books_scale_path_trouble_fallback(spark, pages, pages_map, monkeypatch):
+    """With the kill-list gate forced to zero, the two-shuffle wide
+    anti-join + window fallback runs instead — values identical."""
+    from distributed_web_scrapper_and_crawler_c__spark.plans import frontier as fr
+    from distributed_web_scrapper_and_crawler_c__spark.plans import seq as seq_mod
+
+    monkeypatch.setattr(fr, "TROUBLE_BROADCAST_MAX", 0)
+    old = seq_mod.SMALL_SEQ_ROWS
+    seq_mod.SMALL_SEQ_ROWS = 0
+    try:
+        eng = _run(spark, pages)
+    finally:
+        seq_mod.SMALL_SEQ_ROWS = old
+    _assert_books_match_oracle(eng, crawl_oracle.crawl(pages_map))
+
+
+def test_pin_storage_level_serialized(spark, pages, pages_map, monkeypatch):
+    """pin_storage_level reroutes every _pin through the requested level
+    (serialized pins for memory-tight executors) with identical results.
+    df.storageLevel doesn't surface localCheckpoint levels (it asks the
+    cache manager), so a spy records what each pin actually requested."""
+    from pyspark import StorageLevel
+    # the abstract pyspark.sql.DataFrame's localCheckpoint is overridden by
+    # the classic concrete class — patch where the call lands
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    levels = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, eager=True, storageLevel=None):
+        levels.append(storageLevel)
+        return orig(self, eager=eager, storageLevel=storageLevel)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    eng = _run(spark, pages,
+               pin_storage_level=StorageLevel.MEMORY_AND_DISK)
+    res = crawl_oracle.crawl(pages_map)
+    assert eng.crawl_order() == res.crawl_order
+    _assert_books_match_oracle(eng, res)
+    assert levels and all(lv == StorageLevel.MEMORY_AND_DISK for lv in levels)
