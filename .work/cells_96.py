@@ -38,16 +38,19 @@ from cluster_cells import _reap  # noqa: E402
 # real-disk spill, 4-row reader batches): the cross-size table must compare
 # like-configured cells. 9.6M decisive pair first.
 CELLS = [
-    # decisive 4-core-executor N vs 4N series across all three sizes first
-    (9600000, 4, 4, 10240, 1800),
-    (9600000, 1, 4, 10240, 3600),
+    # decisive 4-core-executor N vs 4N series across all three sizes first.
+    # 9.6M needs 16g executor heaps: the 14 ~90MB category mega-page rows
+    # OOM a 10g heap in the scan's UnsafeWriter.grow (observed, exec 0
+    # stderr of app-20260817222809); heap size is held equal WITHIN each
+    # N-vs-4N pair, which is what efficiency compares.
+    (9600000, 4, 4, 16384, 1800),
+    (9600000, 1, 4, 16384, 3600),
     (2400000, 4, 4, 10240, 900),
     (2400000, 1, 4, 10240, 1200),
     (600000, 4, 4, 10240, 400),
     (600000, 1, 4, 10240, 700),
-    # 1-core-executor series second (only if budget remains)
-    (9600000, 16, 1, 5120, 1800),
-    (9600000, 4, 1, 5120, 3600),
+    # 1-core-executor series second (only if budget remains; no 9.6M row —
+    # 16 x 16g heaps cannot fit the box)
     (2400000, 16, 1, 5120, 1000),
     (2400000, 4, 1, 5120, 1500),
     (600000, 16, 1, 5120, 500),

@@ -64,6 +64,12 @@ STORE_LEVEL = os.environ.get("SPARK_SCALING_STORE_LEVEL", "memdisk")
 # recorded pre-r4 sample; the 9.6M cells point this at the real disk so
 # spilled bytes stop competing with JVM heaps for physical RAM.
 LOCAL_DIR = os.environ.get("SPARK_SCALING_LOCAL_DIR", "/dev/shm/spark-local")
+# Pin (localCheckpoint) storage level: "" = engine default (deserialized
+# MEMORY_AND_DISK), "ser" = serialized MEMORY_AND_DISK, "disk" = DISK_ONLY.
+# Serialized pins are the single-executor survival knob at 9.6M pages: the
+# round's pinned state must fit ONE heap there, and deserialized pins
+# compete with the parquet reader's untracked batch buffers.
+PIN_LEVEL = os.environ.get("SPARK_SCALING_PIN_LEVEL", "")
 
 
 def _session(cores: int):
@@ -210,8 +216,14 @@ def worker(cores: int) -> None:
     # measured within noise of the shuffle path at 600k pages, so the
     # engine default stands)
     bcast = int(os.environ.get("SPARK_SCALING_BCAST", "100000"))
+    pin_level = None
+    if PIN_LEVEL:
+        from pyspark import StorageLevel
+
+        pin_level = {"ser": StorageLevel.MEMORY_AND_DISK,
+                     "disk": StorageLevel.DISK_ONLY}[PIN_LEVEL]
     eng = CrawlEngine(spark, pages, use_bloom=True, num_partitions=cores,
-                      broadcast_threshold=bcast)
+                      broadcast_threshold=bcast, pin_storage_level=pin_level)
     eng.seed(seeds)
     t0 = time.time()
     eng.run(seeds, max_rounds=2)
@@ -238,6 +250,7 @@ def worker(cores: int) -> None:
         **({"store_level": STORE_LEVEL} if STORE_LEVEL != "memdisk" else {}),
         **({"local_dir": LOCAL_DIR}
            if LOCAL_DIR != "/dev/shm/spark-local" else {}),
+        **({"pin_level": PIN_LEVEL} if PIN_LEVEL else {}),
         "site_pages": n_pages,
         "pages_fetched": eng.pages_crawled,
         "items": eng.items_count,
