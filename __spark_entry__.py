@@ -857,6 +857,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_worker_totals"] = crawl_worker_totals
 
+    # ---- D5/D6/D7 distributed-mode emulation (SURVEY §2.9's reserved
+    # flag, worker.cpp:848-899,919-968,1211-1223): deterministic
+    # serialization over a literal fixture; golden-constant oracles from
+    # an independent global-interleave twin (see _emu_*_golden) ----
+
+    def dedup_emulated_url(spark, sf):
+        from distributed_web_scrapper_and_crawler_c__spark.operators import (
+            distributed_emulation as DE,
+        )
+
+        df = spark.createDataFrame(
+            _emu_url_fixture(), "seq BIGINT, url STRING"
+        )
+        return DE.emulated_url_dedup(
+            df, n_workers=2, max_processed=4, seed_url=_EMU_SEED
+        )
+
+    q["dedup_emulated_url"] = dedup_emulated_url
+
+    def dedup_emulated_ring(spark, sf):
+        from distributed_web_scrapper_and_crawler_c__spark.operators import (
+            distributed_emulation as DE,
+        )
+
+        df = spark.createDataFrame(
+            _emu_book_fixture(),
+            "seq BIGINT, title STRING, price STRING, rating INT",
+        )
+        return DE.emulated_recent_book_dedup(df, n_workers=2, ring_size=3)
+
+    q["dedup_emulated_ring"] = dedup_emulated_ring
+
     return q
 
 
@@ -1235,6 +1267,139 @@ def _embedding_near_dup_lsh_golden(
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB; views pre-registered)
 # ---------------------------------------------------------------------------
+
+
+# ---- D5/D6/D7 emulation fixture + independent interleave twins ----------
+#
+# The engine groups by worker and scans each group (operators/
+# distributed_emulation.py); the twins below instead walk the GLOBAL
+# stream once, dispatching to per-worker states — a different program
+# shape over the same spec (worker.cpp:848-899,919-968,1211-1223), so a
+# grouping/ordering bug on the Spark side cannot cancel out.
+
+_EMU_SEED = "http://emu.test/Catalogue/page-1.html"  # raw mixed case: the
+# D7 re-insert keeps it verbatim (worker.cpp:1219), so a lowercase
+# canonical revisit of the seed must NOT hit it
+
+
+def _emu_url_fixture() -> list[tuple[int, str]]:
+    """Deterministic 24-row URL stream: each worker (round-robin seq%2)
+    walks the same 12-step script, which fires every D5/D7 branch IN that
+    worker — slug near-dup (incl. before-exact precedence), ident='index'
+    silence, exact dup, a D7 eviction at max_processed=4 with re-seen and
+    post-eviction-exact follow-ups, and the raw-seed-case-miss quirk."""
+    script = [
+        "http://emu.test/catalogue/alpha-{j}_1.html",     # first-seen
+        "http://emu.test/catalogue/alpha-{j}_2.html",     # slug near-dup
+        "http://emu.test/CATALOGUE/alpha-{j}_1.html/",    # slug, NOT exact:
+        #   the slug scan precedes the set probe (worker.cpp:948-958)
+        "http://emu.test/catalogue/cat-{j}_7/index.html", # ident 'index',
+        #   no underscore -> heuristic silent -> first-seen
+        "http://emu.test/catalogue/cat-{j}_7/index.html", # exact
+        "http://emu.test/page-{j}a",                      # set size 3
+        "http://emu.test/page-{j}b/",                     # size 4
+        "http://emu.test/page-{j}c",                      # size 5 > 4 ->
+        #   D7 clear, keep RAW seed
+        "http://emu.test/catalogue/alpha-{j}_1.html",     # first-seen AGAIN
+        "http://emu.test/catalogue/page-1.html",          # first-seen: the
+        #   retained seed is raw mixed-case, canonical is lowercase -> miss
+        "http://emu.test/page-{j}b",                      # first-seen again
+        "http://emu.test/page-{j}b/",                     # exact post-evict
+    ]
+    urls: list[tuple[int, str]] = []
+    for i, s in enumerate(script):
+        for j in (0, 1):
+            urls.append((2 * i + j, s.format(j=j)))
+    return sorted(urls)
+
+
+def _emu_book_fixture() -> list[tuple[int, str, str, int]]:
+    """Deterministic 24-row book stream (12 distinct x2): exact-triple
+    repeats, shorter-in-longer containment both ways (incl. case-folded),
+    an empty-title bypass, and enough keepers to roll the ring at
+    ring_size=3. price stays the raw scraped string per Item.h."""
+    base = [
+        ("The Silent Sea", "10.00", 3),
+        ("Silent Sea", "8.00", 2),       # contained in the previous title
+        ("A Voyage Home", "12.00", 4),
+        ("The Silent Sea", "10.00", 3),  # exact triple repeat
+        ("", "1.00", 1),                 # empty title bypasses the block
+        ("Red Harvest", "7.00", 5),
+        ("harvest", "2.00", 1),          # lowercase containment
+        ("Long Road North", "9.00", 2),
+        ("Winter Light", "6.00", 4),
+        ("The Glass Door", "5.00", 2),
+        ("A VOYAGE HOME", "12.00", 4),   # case-insensitive containment
+        ("The Silent Sea", "10.00", 3),  # ring has rolled -> kept again
+    ]
+    return [(i, t, p, r) for i, (t, p, r) in enumerate(base * 2)]
+
+
+@functools.lru_cache(maxsize=None)
+def _emu_url_golden(
+    n_workers: int = 2, max_processed: int = 4
+) -> tuple[tuple, ...]:
+    """Independent D5+D7 twin: one pass over the global stream, per-worker
+    set dict, split()-based slug extraction (vs the kernel's find
+    arithmetic)."""
+    states: dict[int, set] = {w: set() for w in range(n_workers)}
+    out = []
+    for seq, url in _emu_url_fixture():
+        w = seq % n_workers
+        s = states[w]
+        c = url.lower()
+        if c.endswith("/"):
+            c = c[:-1]
+        name = None
+        if "/catalogue/" in c and ".html" in c:
+            h, ls = c.find(".html"), c.rfind("/")
+            ident = c[ls + 1 : h] if h >= ls + 1 else c[ls + 1 :]
+            if "_" in ident:
+                name = ident.split("_", 1)[0]
+        if name is not None and any(name in p for p in s):
+            kind = "slug"
+        elif c in s:
+            kind = "exact"
+        else:
+            s.add(c)
+            kind = None
+        out.append((w, seq, url, c, kind))
+        if len(s) > max_processed:
+            s.clear()
+            s.add(_EMU_SEED)
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _emu_ring_golden(
+    n_workers: int = 2, ring_size: int = 3
+) -> tuple[tuple, ...]:
+    """Independent D6 twin: global pass with per-worker deque(maxlen=ring)
+    — the bounded-append container expresses the append-then-pop-front of
+    worker.cpp:890-894 structurally instead of imperatively."""
+    from collections import deque
+
+    rings: dict[int, object] = {
+        w: deque(maxlen=ring_size) for w in range(n_workers)
+    }
+    out = []
+    for seq, title, price, rating in _emu_book_fixture():
+        w = seq % n_workers
+        ring = rings[w]
+        kind = None
+        if title:
+            for rt, rp, rr in ring:
+                if (rt, rp, rr) == (title, price, rating):
+                    kind = "exact"
+                    break
+                lo, hi = sorted((rt.lower(), title.lower()), key=len)
+                if rt and lo in hi:
+                    kind = "contain"
+                    break
+            if kind is None:
+                ring.append((title, price, rating))
+        out.append((w, seq, title, price, rating, kind))
+    return tuple(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1628,6 +1793,28 @@ FROM embeddings GROUP BY label
             ("vec_id", "BIGINT"),
             ("cosine", "DOUBLE"),
             ("rank", "INTEGER"),
+        ],
+    )
+
+    o["dedup_emulated_url"] = _literal_select(
+        list(_emu_url_golden()),
+        [
+            ("worker", "INTEGER"),
+            ("seq", "BIGINT"),
+            ("url", "VARCHAR"),
+            ("canonical", "VARCHAR"),
+            ("dup_kind", "VARCHAR"),
+        ],
+    )
+    o["dedup_emulated_ring"] = _literal_select(
+        list(_emu_ring_golden()),
+        [
+            ("worker", "INTEGER"),
+            ("seq", "BIGINT"),
+            ("title", "VARCHAR"),
+            ("price", "VARCHAR"),
+            ("rating", "INTEGER"),
+            ("dup_kind", "VARCHAR"),
         ],
     )
 
