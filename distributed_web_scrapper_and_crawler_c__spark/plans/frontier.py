@@ -115,6 +115,7 @@ class CrawlEngine:
         use_expr_kernels: bool = True,
         table_format=None,
         pin_storage_level: "StorageLevel | None" = None,
+        compact_every: int = 0,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -183,9 +184,20 @@ class CrawlEngine:
         self.items_count = 0
         self.seen_count = 0
         # rounds before _seen_base_round have had their seen-increments
-        # compacted into that round's snapshot (set by add_seed's removal)
+        # compacted into that round's snapshot (set by add_seed's removal,
+        # or periodically by compact_every)
         self._seen_base_round = 0
         self._seen_compacted = False
+        # same base mechanism for the items increments
+        self._items_base_round = 0
+        # compact_every=k > 0: every k rounds the checkpoint writes the FULL
+        # seen/items as that round's increment and moves the base forward,
+        # so resume reads O(1) locations instead of O(rounds). The classic
+        # LSM trade — O(state) extra write I/O every k rounds, amortized
+        # O(state/k) per round — pick k against round size. On Iceberg the
+        # increments are appends to one table and this job is the table-
+        # maintenance compaction; the parquet adapter emulates it here.
+        self.compact_every = compact_every
         self.stopped = False
         # golden-test instrumentation: (round, seq, path, fetched) per
         # dequeue, in order. Driver-side — enable only at test scale.
@@ -960,16 +972,24 @@ class CrawlEngine:
         d = self.checkpoint_dir / f"r{self.round_num}"
         tf = self.table_format
         tf.write(self.frontier, str(d / "frontier"))
-        if self._seen_compacted:
-            # an add_seed removed rows: older increments are stale, so this
-            # snapshot carries the FULL seen-set and becomes the new base
+        compact_due = (
+            self.compact_every > 0
+            and self.round_num - self._seen_base_round >= self.compact_every
+        )
+        if self._seen_compacted or compact_due:
+            # full-seen snapshot becomes the new base: either an add_seed
+            # removed rows (older increments stale) or the periodic
+            # compact_every fold is due
             tf.write(self.seen, str(d / "seen_inc"))
             self._seen_base_round = self.round_num
             self._seen_compacted = False
         else:
             tf.write(self._seen_parts[-1], str(d / "seen_inc"))
-        items_inc = self._item_parts[-1]
-        tf.write(items_inc, str(d / "items_inc"))
+        if compact_due:
+            tf.write(self.items, str(d / "items_inc"))
+            self._items_base_round = self.round_num
+        else:
+            tf.write(self._item_parts[-1], str(d / "items_inc"))
         # Bloom state rides along so resume never pays the O(seen) rebuild:
         # the sharded layout as a table through the same seam, the driver
         # bitmap as raw bytes next to state.json (it IS driver state)
@@ -986,6 +1006,7 @@ class CrawlEngine:
             "items_count": self.items_count,
             "seen_count": self.seen_count,
             "seen_base_round": self._seen_base_round,
+            "items_base_round": self._items_base_round,
             "bloom_m": self._bloom_m,
             "host_last_round": self._host_last_round,
             "stopped": self.stopped,
@@ -1033,9 +1054,10 @@ class CrawlEngine:
             spark, SEEN_SCHEMA,
             [str(root / f"r{r}" / "seen_inc") for r in range(seen_base, last + 1)],
         )
+        items_base = state.get("items_base_round", 0)
         eng.items = tf.read(
             spark, ITEMS_SCHEMA,
-            [str(root / f"r{r}" / "items_inc") for r in range(last + 1)],
+            [str(root / f"r{r}" / "items_inc") for r in range(items_base, last + 1)],
         )
         # restore persisted Bloom state (written by _write_checkpoint) so the
         # first post-resume round does NOT rebuild the bitmap from the full
@@ -1065,6 +1087,7 @@ class CrawlEngine:
         if eng.seen_count < 0:
             eng.seen_count = eng.seen.count()
         eng._seen_base_round = seen_base
+        eng._items_base_round = items_base
         eng._host_last_round = {
             h: int(r) for h, r in state.get("host_last_round", {}).items()
         }

@@ -67,3 +67,42 @@ def test_torn_round_is_ignored(spark, pages, tmp_path_factory):
     assert resumed.round_num == 2  # torn r3 ignored, r2 is the latest commit
 
     shutil.rmtree(torn)
+
+
+def test_periodic_compaction_prunes_resume_inputs(spark, pages, tmp_path_factory):
+    """compact_every=2: every 2nd round's checkpoint folds the full
+    seen/items into that round's increment and moves the base forward.
+    Resume must then read ONLY from the base onward — proven by deleting
+    every pre-base increment before resuming — and still finish with state
+    identical to an uninterrupted, never-compacted run."""
+    import json
+
+    full_dir = str(tmp_path_factory.mktemp("full_nc"))
+    comp_dir = str(tmp_path_factory.mktemp("comp"))
+
+    full = CrawlEngine(spark, pages, checkpoint_dir=full_dir).run(
+        "/catalogue/page-1.html"
+    )
+
+    part = CrawlEngine(
+        spark, pages, checkpoint_dir=comp_dir, compact_every=2
+    )
+    part.run("/catalogue/page-1.html", max_rounds=3)
+    state = json.loads((Path(comp_dir) / "r2" / "state.json").read_text())
+    assert state["seen_base_round"] == 2  # the fold actually happened
+    assert state["items_base_round"] == 2
+    # r3 is a plain increment on top of the r2 base
+    state3 = json.loads((Path(comp_dir) / "r3" / "state.json").read_text())
+    assert state3["seen_base_round"] == 2
+
+    # pre-base increments are dead weight after the fold: remove them
+    for r in (0, 1):
+        shutil.rmtree(Path(comp_dir) / f"r{r}" / "seen_inc")
+        shutil.rmtree(Path(comp_dir) / f"r{r}" / "items_inc")
+
+    resumed = CrawlEngine.resume(
+        spark, pages, comp_dir, compact_every=2
+    )
+    resumed.run("/catalogue/page-1.html")
+
+    assert state_tuple(resumed) == state_tuple(full)
