@@ -889,6 +889,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_emulated_ring"] = dedup_emulated_ring
 
+    # ---- robots.txt -> rules table (politeness front half; oracle from
+    # stdlib urllib.robotparser's independently parsed entries) ----
+
+    def robots_rules(spark, sf):
+        from distributed_web_scrapper_and_crawler_c__spark.sources import (
+            robots as R,
+        )
+
+        df = spark.createDataFrame(
+            _robots_fixture(), "host STRING, robots_txt STRING"
+        )
+        return R.robots_rules_from_texts(df, agent="spark-crawler")
+
+    q["robots_rules"] = robots_rules
+
     return q
 
 
@@ -1402,6 +1417,52 @@ def _emu_ring_golden(
     return tuple(out)
 
 
+# ---- robots.txt fixture + stdlib-robotparser golden ----------------------
+
+
+def _robots_fixture() -> list[tuple[str, str]]:
+    """Three hosts inside the documented shared subset (Disallow-only
+    groups, unique agent tokens per host): a specific group that beats *,
+    a *-only host, and an allow-everything host."""
+    return [
+        (
+            "a.example",
+            "User-agent: spark-crawler\nDisallow: /private\n"
+            "Disallow: /tmp\n\nUser-agent: *\nDisallow: /\n",
+        ),
+        (
+            "b.example",
+            "# comment\nUser-agent: *\nDisallow: /admin\n"
+            "Sitemap: http://b.example/s.xml\nDisallow: /search\n",
+        ),
+        ("c.example", "User-agent: *\nDisallow:\n"),
+    ]
+
+
+def _robots_golden(agent: str = "spark-crawler") -> list[tuple[str, str]]:
+    """Independent twin: let stdlib urllib.robotparser parse each body,
+    then read the Disallow prefixes out of ITS entry objects — a separately
+    maintained implementation of the same 1994-REP state machine."""
+    import urllib.robotparser
+
+    rows: list[tuple[str, str]] = []
+    for host, text in _robots_fixture():
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(text.splitlines())
+        entry = next(
+            (e for e in rp.entries if agent.lower() in e.useragents),
+            rp.default_entry,
+        )
+        if entry is None:
+            continue
+        for rl in entry.rulelines:
+            # RuleLine normalizes empty-Disallow to an allow-all rule;
+            # only real disallow prefixes enter the engine's table
+            if not rl.allowance and rl.path:
+                rows.append((host, rl.path))
+    return rows
+
+
 def oracle_sql() -> dict[str, str]:
     canon = X.canonicalize_url_sql("url")
     url_cte = f"WITH u AS (SELECT p_partkey, {URL_EXPR} AS url FROM part)"
@@ -1816,6 +1877,11 @@ FROM embeddings GROUP BY label
             ("rating", "INTEGER"),
             ("dup_kind", "VARCHAR"),
         ],
+    )
+
+    o["robots_rules"] = _literal_select(
+        _robots_golden(),
+        [("host", "VARCHAR"), ("prefix", "VARCHAR")],
     )
 
     # every queries() entry now has an oracle_sql() twin: SQL-expressible
