@@ -65,7 +65,7 @@ TROUBLE_BROADCAST_MAX = 2_000_000
 
 FRONTIER_SCHEMA = (
     "seq long, path string, url string, canonical string, host string, "
-    "parent_seq long, link_rank int, round_added int"
+    "parent_seq long, link_rank int, round_added int, priority int"
 )
 SEEN_SCHEMA = "canonical string, seq long, round_added int"
 ITEMS_SCHEMA = (
@@ -116,6 +116,7 @@ class CrawlEngine:
         table_format=None,
         pin_storage_level: "StorageLevel | None" = None,
         compact_every: int = 0,
+        priority_expr=None,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -190,6 +191,20 @@ class CrawlEngine:
         self._seen_compacted = False
         # same base mechanism for the items increments
         self._items_base_round = 0
+        # priority frontier (north-star "partitioned priority frontier"):
+        # priority_expr is an unresolved Column over the link columns
+        # `path` / `url` (the columns in scope at every enqueue site),
+        # cast to int, LOWER dequeues FIRST;
+        # ties break by seq, so priority_expr=None (or a constant) is
+        # byte-identical to the reference's FIFO — goldens assert that. The
+        # expr is stamped at ENQUEUE time (a frontier column, checkpointed
+        # with it), and the dequeue order key becomes (priority, seq) in the
+        # same grouped-rank / prefix-sum plans — no new shuffle, the range
+        # partitioning just leads with the priority column.
+        self.priority_expr = priority_expr
+        self._order_cols = (
+            ["priority", "seq"] if priority_expr is not None else ["seq"]
+        )
         # compact_every=k > 0: every k rounds the checkpoint writes the FULL
         # seen/items as that round's increment and moves the base forward,
         # so resume reads O(1) locations instead of O(rounds). The classic
@@ -244,14 +259,18 @@ class CrawlEngine:
         for i, p in enumerate(start_paths):
             url = self.base_url + p
             rows.append(
-                (i, p, url, K.canonicalize_url(url), K.url_host(url), -1, i, 0)
+                (i, p, url, K.canonicalize_url(url), K.url_host(url), -1, i,
+                 0, 0)
             )
-        self.frontier = self._pin(
-            self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
-        )
+        front = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        if self.priority_expr is not None:
+            front = front.withColumn(
+                "priority", self.priority_expr.cast("int")
+            )
+        self.frontier = self._pin(front)
         seed_seen = self._pin(
             self.spark.createDataFrame(
-                [(c, s, 0) for (s, _p, _u, c, _h, _ps, _lr, _r) in rows],
+                [(c, s, 0) for (s, _p, _u, c, *_rest) in rows],
                 SEEN_SCHEMA,
             ).dropDuplicates(["canonical"])
         )
@@ -296,8 +315,13 @@ class CrawlEngine:
 
         p = path if path.startswith("/") else "/" + path
         row = [(self.next_seq, p, url, canon, K.url_host(url), -1, 0,
-                self.round_num)]
-        new_front = self._pin(self.spark.createDataFrame(row, FRONTIER_SCHEMA))
+                self.round_num, 0)]
+        new_front = self.spark.createDataFrame(row, FRONTIER_SCHEMA)
+        if self.priority_expr is not None:
+            new_front = new_front.withColumn(
+                "priority", self.priority_expr.cast("int")
+            )
+        new_front = self._pin(new_front)
         self.frontier = self._pin(self.frontier.unionByName(new_front))
         self.frontier_size += 1
         new_seen = self._pin(
@@ -426,7 +450,7 @@ class CrawlEngine:
         if self.host_budget is not None:
             slice_df = self._pin(
                 with_grouped_rank(
-                    base, "host", ["seq"], rank_col="_hrk",
+                    base, "host", self._order_cols, rank_col="_hrk",
                     num_partitions=self.n_part,
                     approx_rows=self.frontier_size,
                 )
@@ -489,7 +513,7 @@ class CrawlEngine:
             # small slices take its size-gated one-shuffle fallback
             popped = (
                 with_prefix_sum(
-                    flags, ["seq"], "_hit", out_col="_before",
+                    flags, self._order_cols, "_hit", out_col="_before",
                     num_partitions=self.n_part, approx_rows=n_slice,
                 )
                 .filter(F.col("_before") < remaining)
@@ -878,10 +902,15 @@ class CrawlEngine:
             X.url_host_expr(F.col("url")).alias("host"),
             "parent_seq", "link_rank",
             F.lit(self.round_num + 1).alias("round_added"),
+            (
+                self.priority_expr.cast("int")
+                if self.priority_expr is not None
+                else F.lit(0)
+            ).alias("priority"),
         )
         frontier_cols = [
             "seq", "path", "url", "canonical", "host",
-            "parent_seq", "link_rank", "round_added",
+            "parent_seq", "link_rank", "round_added", "priority",
         ]
         n_links_upper = n_kept_expected - n_robots_blocked
         if n_links_upper < seq_mod.SMALL_SEQ_ROWS:
