@@ -564,6 +564,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["seen_anti_join"] = seen_anti_join
 
+    def cuckoo_seen_filter(spark, sf):
+        """URL-seen pre-filter, cuckoo family (plans/cuckoo, north-star
+        "bloom/cuckoo URL-seen"): candidates that miss the filter are
+        definitely new; hits go through the exact anti-join backstop — so
+        the result is EXACTLY the anti-join, which is what the DuckDB
+        oracle computes with no knowledge of the filter."""
+        from distributed_web_scrapper_and_crawler_c__spark.plans import (
+            cuckoo as CKm,
+        )
+
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat(
+                F.lit("http://docs.example.com/"), F.col("source"),
+                F.lit("/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        seen = d.filter(F.col("doc_id") % 3 == 0).select(
+            F.col("url").alias("canonical")
+        )
+        nb = CKm.next_pow2_buckets(2 * max(1, seen.count()))
+        table = CKm.cuckoo_local(seen, "canonical", nb)
+        probe = CKm.maybe_seen_col(spark, table.tobytes(), nb)
+        flagged = d.withColumn(
+            "_maybe",
+            probe(
+                F.xxhash64("url", F.lit(CKm.FP_SEED)),
+                F.xxhash64("url", F.lit(CKm.IX_SEED)),
+            ),
+        )
+        sure_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+        maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
+        checked = maybe.join(
+            seen, maybe.url == seen.canonical, "left_anti"
+        )
+        return sure_new.unionByName(checked).select("doc_id", "url")
+
+    q["cuckoo_seen_filter"] = cuckoo_seen_filter
+
+    def priority_dequeue(spark, sf):
+        """Priority-frontier politeness dequeue (plans/seq.with_grouped_rank,
+        the order key CrawlEngine uses under priority_expr): synthesize a
+        frontier from documents (host = source, seq = doc_id, priority =
+        n_chars mod 7), rank per host by (priority, seq) through the
+        grouped-rank SCALE plan (approx_rows omitted -> two-phase range
+        partition + boundary offsets, the same plan big rounds take), keep
+        rank <= budget. The DuckDB oracle is the semantic definition: one
+        ROW_NUMBER window per host."""
+        from distributed_web_scrapper_and_crawler_c__spark.plans import (
+            seq as seq_mod,
+        )
+
+        budget = 5
+        fr = _t(spark, sf, "documents").select(
+            F.col("source").alias("host"),
+            F.col("doc_id").cast("long").alias("seq"),
+            (F.col("n_chars") % 7).cast("int").alias("priority"),
+        )
+        ranked = seq_mod.with_grouped_rank(
+            fr, "host", ["priority", "seq"], rank_col="rank"
+        )
+        return ranked.filter(F.col("rank") <= budget).select(
+            "host", "seq", "priority", F.col("rank").cast("long").alias("rank")
+        )
+
+    q["priority_dequeue"] = priority_dequeue
+
     def union_dedup(spark, sf):
         c = _t(spark, sf, "customer").select(
             F.col("c_nationkey").cast("int").alias("nationkey")
@@ -1674,6 +1741,34 @@ FROM (
 SELECT c_custkey AS custkey, c_name AS name
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+    o["cuckoo_seen_filter"] = """
+WITH d AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'http://docs.example.com/' || source || '/'
+               || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+)
+SELECT doc_id, url FROM d
+WHERE url NOT IN (SELECT url FROM d WHERE doc_id % 3 = 0)
+"""
+
+    o["priority_dequeue"] = """
+WITH fr AS (
+    SELECT source AS host,
+           CAST(doc_id AS BIGINT) AS seq,
+           CAST(n_chars % 7 AS INT) AS priority
+    FROM documents
+), ranked AS (
+    SELECT host, seq, priority,
+           ROW_NUMBER() OVER (
+               PARTITION BY host ORDER BY priority, seq
+           ) AS rank
+    FROM fr
+)
+SELECT host, seq, priority, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
 """
 
     o["union_dedup"] = """

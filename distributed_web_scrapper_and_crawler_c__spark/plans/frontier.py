@@ -47,6 +47,7 @@ from ..functions import expressions as X
 from ..functions import kernels as K
 from ..functions import udfs as U
 from . import bloom as BL
+from . import cuckoo as CK
 from . import seq as seq_mod
 from .seq import (
     range_bucket_expr,
@@ -117,6 +118,7 @@ class CrawlEngine:
         pin_storage_level: "StorageLevel | None" = None,
         compact_every: int = 0,
         priority_expr=None,
+        seen_filter: str = "bloom",
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -170,7 +172,19 @@ class CrawlEngine:
         # The switch is one-way (filters only grow) and never changes
         # answers: both layouts are exact pre-filters ahead of the same
         # exact anti-join.
+        # seen_filter selects the approximate pre-filter family (north-star
+        # "bloom/cuckoo URL-seen"): "bloom" = OR-mergeable bitmap (default),
+        # "cuckoo" = deletable fingerprint table (plans/cuckoo) — identical
+        # exactness either way (both are pre-filters ahead of the same exact
+        # anti-join), but cuckoo supports DELETION, so add_seed force-requeue
+        # removes the fingerprint instead of leaving a stale bloom positive.
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be bloom|cuckoo: {seen_filter}")
+        self.seen_filter = seen_filter
         self.bloom_shard_threshold = bloom_shard_threshold
+        # driver-held filter state: bloom = uint8 bitmap (m = _bloom_m bits),
+        # cuckoo = (n_buckets, 4) uint16 table (_bloom_m = n_buckets; for the
+        # sharded layout, PER-SHARD buckets)
         self._bloom_bm = None
         self._bloom_m = 0
         self._bloom_shards: DataFrame | None = None
@@ -254,6 +268,27 @@ class CrawlEngine:
             )
         return df.localCheckpoint(eager=True)
 
+    def _pin_shards(self, df: DataFrame) -> DataFrame:
+        """Pin the sharded seen-filter state AND erase its inherited size
+        estimate. ``localCheckpoint`` truncates lineage but the LogicalRDD
+        leaf carries the origin plan's Catalyst size estimate over, and a
+        binary node's default estimate is the PRODUCT of its children — the
+        filter state is re-derived from itself every round (probe cogroups,
+        insert merges), so the inherited estimate compounds exponentially
+        with rounds until the driver OOMs in ``BigInteger.multiply`` while
+        merely *analyzing* a later round's plan (observed at ~20 rounds
+        under host_budget). Re-wrapping the checkpointed RDD in a fresh
+        DataFrame resets the leaf to the default estimate; row-conversion
+        cost at read time is negligible — the state is N_SHARDS rows."""
+        pinned = self._pin(df)
+        jdf = pinned._jdf
+        return DataFrame(
+            self.spark._jsparkSession.createDataFrame(
+                jdf.toJavaRDD(), jdf.schema()
+            ),
+            self.spark,
+        )
+
     def seed(self, start_paths: list[str]) -> "CrawlEngine":
         rows = []
         for i, p in enumerate(start_paths):
@@ -308,10 +343,13 @@ class CrawlEngine:
             self._seen_parts = [compacted]
             self._seen_compacted = True
             self.seen_count -= n_removed
-            # driver-held bloom bitmap cannot un-set bits; the exact
-            # anti-join decides membership, so a stale positive only costs
-            # one extra probe row — but the REMOVED url must be enqueueable,
-            # which it is: enqueue below bypasses the dedup path entirely.
+            # seen_filter="cuckoo" deletes the fingerprint too, keeping the
+            # filter tight across requeues; a bloom bitmap cannot un-set
+            # bits — the exact anti-join decides membership either way, so
+            # a stale bloom positive only costs one extra probe row. The
+            # REMOVED url must be enqueueable regardless, which it is: the
+            # enqueue below bypasses the dedup path entirely.
+            self._bloom_delete(removed.select("canonical"), "canonical")
 
         p = path if path.startswith("/") else "/" + path
         row = [(self.next_seq, p, url, canon, K.url_host(url), -1, 0,
@@ -354,11 +392,32 @@ class CrawlEngine:
         import numpy as np
 
         n = max(1, self.next_seq)
+        if self.seen_filter == "cuckoo":
+            if self._bloom_sharded:
+                # rebuild when load would pass 0.5 of total slot capacity
+                if (
+                    self._bloom_shards is None
+                    or n * 2 > CK.capacity(self._bloom_m) * CK.N_SHARDS
+                ):
+                    self._bloom_m = CK.next_pow2_buckets(
+                        max(1, 2 * n // CK.N_SHARDS)
+                    )
+                    self._bloom_shards = self._pin_shards(
+                        CK.build_shard_tables(self.seen, "canonical", self._bloom_m)
+                    )
+                    self._bloom_bm = None
+                    self.bloom_rebuilds += 1
+                return
+            if self._bloom_bm is None or n * 2 > CK.capacity(self._bloom_m):
+                self._bloom_m = CK.next_pow2_buckets(4 * n)  # rebuilds rare
+                self._bloom_bm = CK.cuckoo_local(self.seen, "canonical", self._bloom_m)
+                self.bloom_rebuilds += 1
+            return
         if self._bloom_sharded:
             # per-shard capacity; rebuild when the whole filter outgrows it
             if self._bloom_shards is None or n * 16 > self._bloom_m * BL.N_SHARDS:
                 self._bloom_m = BL._next_pow2(n * 32 // BL.N_SHARDS)
-                self._bloom_shards = self._pin(
+                self._bloom_shards = self._pin_shards(
                     BL.build_shard_bitmaps(self.seen, "canonical", self._bloom_m)
                 )
                 self._bloom_bm = None
@@ -373,9 +432,37 @@ class CrawlEngine:
     def _bloom_add(self, df: DataFrame, col: str, n_rows: int) -> None:
         import numpy as np
 
+        if self.seen_filter == "cuckoo":
+            # unlike a bloom bitmap (which merely densifies), a cuckoo table
+            # has hard slot capacity — grow BEFORE the increment would push
+            # the load past 0.5. Both call sites update self.seen/seen_count
+            # first, so a rebuild from self.seen already includes df.
+            if self._bloom_shards is not None:
+                if self.seen_count * 2 > CK.capacity(self._bloom_m) * CK.N_SHARDS:
+                    self._bloom_m = CK.next_pow2_buckets(
+                        max(1, 4 * self.seen_count // CK.N_SHARDS)
+                    )
+                    self._bloom_shards = self._pin_shards(
+                        CK.build_shard_tables(self.seen, col, self._bloom_m)
+                    )
+                    self.bloom_rebuilds += 1
+                    return
+                self._bloom_shards = self._pin_shards(
+                    CK.insert_shard_tables(
+                        self._bloom_shards, df, col, self._bloom_m
+                    )
+                )
+            else:
+                if self.seen_count * 2 > CK.capacity(self._bloom_m):
+                    self._bloom_m = CK.next_pow2_buckets(4 * self.seen_count)
+                    self._bloom_bm = CK.cuckoo_local(self.seen, col, self._bloom_m)
+                    self.bloom_rebuilds += 1
+                    return
+                CK.insert_local(self._bloom_bm, df, col)
+            return
         if self._bloom_shards is not None:
             inc = BL.build_shard_bitmaps(df, col, self._bloom_m)
-            self._bloom_shards = self._pin(
+            self._bloom_shards = self._pin_shards(
                 BL.or_merge_shard_bitmaps(self._bloom_shards, inc)
             )
             return
@@ -385,6 +472,25 @@ class CrawlEngine:
             bm, _ = BL.build_bloom(df, col, self._bloom_m)
             inc = np.frombuffer(bm, dtype=np.uint8)
         np.bitwise_or(self._bloom_bm, inc, out=self._bloom_bm)
+
+    def _bloom_delete(self, df: DataFrame, col: str) -> bool:
+        """Remove keys from the seen pre-filter, where the filter family
+        supports it. Cuckoo filters delete (one fingerprint copy per key,
+        exact because inserts keep multiset semantics and the seen-set is
+        distinct); a Bloom bitmap cannot un-set bits — returns False and the
+        caller documents the stale positive (it only costs one extra exact
+        anti-join probe row, never an answer)."""
+        if self.seen_filter != "cuckoo":
+            return False
+        if self._bloom_shards is not None:
+            self._bloom_shards = self._pin_shards(
+                CK.delete_shard_tables(self._bloom_shards, df, col, self._bloom_m)
+            )
+            return True
+        if self._bloom_bm is not None:
+            CK.delete_local(self._bloom_bm, df, col)
+            return True
+        return False
 
     # ------------------------------------------------------------------ round
 
@@ -844,7 +950,23 @@ class CrawlEngine:
         n_robots_blocked = 0
         if self.use_bloom:
             self._bloom_ensure()
-            if self._bloom_shards is not None:
+            if self.seen_filter == "cuckoo":
+                if self._bloom_shards is not None:
+                    flagged = CK.probe_sharded(
+                        kept, self._bloom_shards, "canonical", self._bloom_m
+                    )
+                else:
+                    probe = CK.maybe_seen_col(
+                        self.spark, self._bloom_bm.tobytes(), self._bloom_m
+                    )
+                    flagged = kept.withColumn(
+                        "_maybe",
+                        probe(
+                            F.xxhash64("canonical", F.lit(CK.FP_SEED)),
+                            F.xxhash64("canonical", F.lit(CK.IX_SEED)),
+                        ),
+                    )
+            elif self._bloom_shards is not None:
                 # sharded layout: cogroup probe, no bitmap broadcast
                 flagged = BL.probe_sharded(
                     kept, self._bloom_shards, "canonical", self._bloom_m
@@ -1023,7 +1145,15 @@ class CrawlEngine:
         # the sharded layout as a table through the same seam, the driver
         # bitmap as raw bytes next to state.json (it IS driver state)
         if self.use_bloom and self._bloom_m:
-            if self._bloom_shards is not None:
+            if self.seen_filter == "cuckoo":
+                if self._bloom_shards is not None:
+                    tf.write(self._bloom_shards, str(d / "cuckoo_shards"))
+                elif self._bloom_bm is not None:
+                    d.mkdir(parents=True, exist_ok=True)
+                    (d / "cuckoo_table.bin").write_bytes(
+                        self._bloom_bm.tobytes()
+                    )
+            elif self._bloom_shards is not None:
                 tf.write(self._bloom_shards, str(d / "bloom_shards"))
             elif self._bloom_bm is not None:
                 d.mkdir(parents=True, exist_ok=True)
@@ -1037,6 +1167,7 @@ class CrawlEngine:
             "seen_base_round": self._seen_base_round,
             "items_base_round": self._items_base_round,
             "bloom_m": self._bloom_m,
+            "seen_filter": self.seen_filter,
             "host_last_round": self._host_last_round,
             "stopped": self.stopped,
             "metrics": [
@@ -1092,12 +1223,31 @@ class CrawlEngine:
         # first post-resume round does NOT rebuild the bitmap from the full
         # seen-set — one O(seen) job saved per resume
         bloom_m = state.get("bloom_m", 0)
-        if eng.use_bloom and bloom_m:
+        # only restore matching filter-family state: a resume under a
+        # different seen_filter just rebuilds on the first round
+        if (
+            eng.use_bloom
+            and bloom_m
+            and state.get("seen_filter", "bloom") == eng.seen_filter
+        ):
             import numpy as np
 
-            if tf.exists(str(d / "bloom_shards")):
+            if eng.seen_filter == "cuckoo":
+                if tf.exists(str(d / "cuckoo_shards")):
+                    eng._bloom_m = bloom_m
+                    eng._bloom_shards = eng._pin_shards(
+                        tf.read(
+                            spark, CK.SHARD_SCHEMA, [str(d / "cuckoo_shards")]
+                        )
+                    )
+                elif (d / "cuckoo_table.bin").exists():
+                    eng._bloom_m = bloom_m
+                    eng._bloom_bm = np.frombuffer(
+                        (d / "cuckoo_table.bin").read_bytes(), dtype=np.uint16
+                    ).reshape(bloom_m, CK.SLOTS).copy()
+            elif tf.exists(str(d / "bloom_shards")):
                 eng._bloom_m = bloom_m
-                eng._bloom_shards = eng._pin(
+                eng._bloom_shards = eng._pin_shards(
                     tf.read(spark, BL.SHARD_SCHEMA, [str(d / "bloom_shards")])
                 )
             elif (d / "bloom_bitmap.bin").exists():
