@@ -232,9 +232,16 @@ def worker(cores: int) -> None:
 
         pin_level = {"ser": StorageLevel.MEMORY_AND_DISK,
                      "disk": StorageLevel.DISK_ONLY}[PIN_LEVEL]
+    # SPARK_SCALING_SEEN_FILTER=cuckoo exercises the deletable filter family
+    # (north-star "bloom/cuckoo") at scale; default stays bloom. An optional
+    # shard threshold forces the sharded cogroup layout at this job size.
+    seen_filter = os.environ.get("SPARK_SCALING_SEEN_FILTER", "bloom")
+    shard_thr = int(os.environ.get("SPARK_SCALING_SHARD_THRESHOLD", "5000000"))
     eng = CrawlEngine(spark, pages, use_bloom=True,
                       num_partitions=SHUFFLE_PARTS or cores,
-                      broadcast_threshold=bcast, pin_storage_level=pin_level)
+                      broadcast_threshold=bcast, pin_storage_level=pin_level,
+                      seen_filter=seen_filter,
+                      bloom_shard_threshold=shard_thr)
     eng.seed(seeds)
     t0 = time.time()
     eng.run(seeds, max_rounds=2)
@@ -263,6 +270,8 @@ def worker(cores: int) -> None:
            if LOCAL_DIR != "/dev/shm/spark-local" else {}),
         **({"pin_level": PIN_LEVEL} if PIN_LEVEL else {}),
         **({"shuffle_parts": SHUFFLE_PARTS} if SHUFFLE_PARTS else {}),
+        **({"seen_filter": seen_filter} if seen_filter != "bloom" else {}),
+        **({"shard_threshold": shard_thr} if shard_thr != 5_000_000 else {}),
         "site_pages": n_pages,
         "pages_fetched": eng.pages_crawled,
         "items": eng.items_count,
@@ -817,6 +826,10 @@ def write_md(here: str, runs: dict[int, list[dict]]) -> None:
         if os.path.exists(sweep_md):
             with open(sweep_md) as sf:
                 f.write(sf.read() + "\n")
+        cuckoo_md = os.path.join(here, "BENCH", "CUCKOO_AB.md")
+        if os.path.exists(cuckoo_md):
+            with open(cuckoo_md) as kf:
+                f.write(kf.read() + "\n")
         f.write(
             "## Environment caveats (measured)\n\n"
             "- Identical back-to-back runs of this job vary 30.7s-94.7s "
@@ -874,7 +887,14 @@ if __name__ == "__main__":
             with open(sweep_path) as f:
                 for line in f:
                     r = json.loads(line)
-                    if r.get("books") == N_BOOKS and "mode" not in r:
+                    if (
+                        r.get("books") == N_BOOKS
+                        and "mode" not in r
+                        # non-default filter-family A/B samples live in
+                        # BENCH/cuckoo_ab.jsonl — keep the headline cells
+                        # single-config
+                        and r.get("seen_filter", "bloom") == "bloom"
+                    ):
                         raw.setdefault(str(r["cores"]), []).append(r)
         write_md(here, {int(c): rs for c, rs in raw.items()})
     else:
