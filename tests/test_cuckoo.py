@@ -275,6 +275,25 @@ def test_cuckoo_add_seed_deletes_fingerprint(spark, pages, pages_map):
     assert {r["canonical"] for r in eng.seen.collect()} == seen_before
 
 
+def test_resume_across_filter_families(spark, pages, pages_map, tmp_path_factory):
+    """A checkpoint written under one seen_filter resumes cleanly under the
+    other: the persisted filter state is family-specific, so the resume
+    must NOT restore it (a cuckoo table is not a bloom bitmap) — the first
+    post-resume round rebuilds from the (family-agnostic) seen table, and
+    the crawl still converges to the oracle's final state."""
+    ck = str(tmp_path_factory.mktemp("ck_cross"))
+    part = CrawlEngine(spark, pages, checkpoint_dir=ck, seen_filter="bloom")
+    part.run("/catalogue/page-1.html", max_rounds=2)
+
+    resumed = CrawlEngine.resume(spark, pages, ck, seen_filter="cuckoo")
+    assert resumed._bloom_bm is None and resumed._bloom_shards is None
+    resumed.run("/catalogue/page-1.html")
+    assert resumed.bloom_rebuilds >= 1  # rebuilt under the new family
+    res = crawl_oracle.crawl(pages_map)
+    assert {r["canonical"] for r in resumed.seen.collect()} == res.processed
+    assert resumed.round_num == res.rounds
+
+
 def test_cuckoo_checkpoint_resume(spark, pages, tmp_path_factory):
     full_dir = str(tmp_path_factory.mktemp("ck_full"))
     part_dir = str(tmp_path_factory.mktemp("ck_part"))
