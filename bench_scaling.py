@@ -614,7 +614,12 @@ def write_cluster_md(here: str) -> None:
                 )
                 + ". Same plans, same input, real separate executor JVMs "
                 "with loopback network shuffle — the closest this sandbox "
-                "gets to adding nodes.\n"
+                "gets to adding nodes. The per-cell run counts in the table "
+                "above are the inflation guard: under min-wall a throttled "
+                "1x2 sample can only INFLATE the ratio, so both 1x2 ends "
+                "were re-sampled until the best walls stopped moving — the "
+                "efficiencies stand on multi-sample minima at both ends, "
+                "not a lucky pair.\n"
             )
         if four_core:
             f.write(
