@@ -119,6 +119,7 @@ class CrawlEngine:
         compact_every: int = 0,
         priority_expr=None,
         seen_filter: str = "bloom",
+        fast_round_rows: int = 64,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -232,6 +233,22 @@ class CrawlEngine:
         # dequeue, in order. Driver-side — enable only at test scale.
         self.record_dequeues = False
         self.dequeue_log: list[tuple] = []
+        # Driver fast-round gate: a round whose ELIGIBLE FRONTIER fits in
+        # ≤ fast_round_rows rows runs entirely driver-side (one fetch
+        # collect + one membership-probe job) instead of the ~20-job
+        # distributed round — see _run_round_fast. The reference workload's
+        # pagination chains (one `page-N` discovering one `page-N+1`,
+        # Crawler.cpp:135-317) make 1-URL rounds the common tail case; at
+        # 10^10 scale the gate simply never fires on real rounds, exactly
+        # like seq.SMALL_SEQ_ROWS. 0 disables (always-distributed).
+        self.fast_round_rows = fast_round_rows
+        # driver mirror of the frontier rows (FRONTIER_SCHEMA order) —
+        # populated by seed()/fast rounds, dropped (None) whenever the
+        # frontier is rebuilt by a distributed round or a resume
+        self._frontier_local: list[tuple] | None = None
+        # robots rules collected once for fast rounds (they broadcast in
+        # the distributed plan anyway — the table is driver-sized)
+        self._robots_local: list[tuple] | None = None
 
     # ------------------------------------------------------------------ state
 
@@ -312,6 +329,12 @@ class CrawlEngine:
         self._seen_parts = [seed_seen]
         self.seen = seed_seen
         self.frontier_size = len(rows)
+        # seed rows are driver-known: prime the fast-round mirror (the
+        # priority column is a Spark expr we can't evaluate here, so a
+        # priority frontier stays on the distributed path)
+        self._frontier_local = (
+            None if self.priority_expr is not None else list(rows)
+        )
         self.next_seq = len(rows)
         self.seen_count = seed_seen.count()
         self._write_checkpoint()
@@ -362,6 +385,10 @@ class CrawlEngine:
         new_front = self._pin(new_front)
         self.frontier = self._pin(self.frontier.unionByName(new_front))
         self.frontier_size += 1
+        if self._frontier_local is not None and self.priority_expr is None:
+            self._frontier_local.append(row[0])
+        else:
+            self._frontier_local = None
         new_seen = self._pin(
             self.spark.createDataFrame(
                 [(canon, self.next_seq, self.round_num)], SEEN_SCHEMA
@@ -492,6 +519,411 @@ class CrawlEngine:
             return True
         return False
 
+    # ------------------------------------------------------- driver fast round
+
+    def _fast_eligible(self) -> bool:
+        """True when this round can run driver-side (_run_round_fast):
+        the frontier fits the gate, the dequeue order needs no Spark expr
+        (priority_expr), and the seen-filter state is driver-local (the
+        sharded ≥5M-key layouts stay on the distributed path)."""
+        if self.fast_round_rows <= 0:
+            return False
+        if self.frontier_size > self.fast_round_rows:
+            return False
+        if self.priority_expr is not None:
+            return False
+        if self.use_bloom and (
+            self._bloom_shards is not None or self._bloom_sharded
+        ):
+            return False
+        return True
+
+    def _frontier_rows(self) -> list[tuple]:
+        """Driver mirror of the frontier (FRONTIER_SCHEMA field order),
+        collected once when absent — bounded by fast_round_rows."""
+        if self._frontier_local is None:
+            self._frontier_local = [
+                tuple(r) for r in self.frontier.collect()
+            ]
+        return self._frontier_local
+
+    def _bloom_probe_local(self, canonicals: list[str]):
+        """Maybe-seen flags over the LOCAL filter state via the driver
+        xxh64 twin (functions/xxh64) — bit-identical to the JVM probe
+        (bloom: all-k-bits-set; cuckoo: fingerprint in either bucket)."""
+        import numpy as np
+
+        from ..functions import xxh64 as XX
+
+        if self.seen_filter == "cuckoo":
+            hfp = XX.hash_str_array(canonicals, CK.FP_SEED)
+            hix = XX.hash_str_array(canonicals, CK.IX_SEED)
+            fp, i1 = CK._fp_i1(hfp, hix, self._bloom_bm.shape[0])
+            return CK.bulk_probe(self._bloom_bm, fp, i1)
+        h1 = XX.hash_str_array(canonicals)
+        h2 = XX.hash_str_array(canonicals, 1)
+        bits = BL._probe_bits(h1, h2, self._bloom_m)
+        masks = (1 << (bits & 7)).astype(np.uint8)
+        return ((self._bloom_bm[bits >> 3] & masks) == masks).all(axis=1)
+
+    def _bloom_add_local(self, canonicals: list[str]) -> None:
+        """_bloom_add twin for driver-known keys — zero Spark jobs on the
+        steady path; the rare cuckoo capacity rebuild still goes through
+        the DataFrame build (it reads the whole seen-set anyway). Callers
+        update seen/seen_count first, like _bloom_add's call sites."""
+        import numpy as np
+
+        from ..functions import xxh64 as XX
+
+        if not canonicals:
+            return
+        if self.seen_filter == "cuckoo":
+            if self.seen_count * 2 > CK.capacity(self._bloom_m):
+                self._bloom_m = CK.next_pow2_buckets(4 * self.seen_count)
+                self._bloom_bm = CK.cuckoo_local(
+                    self.seen, "canonical", self._bloom_m
+                )
+                self.bloom_rebuilds += 1
+                return
+            hfp = XX.hash_str_array(canonicals, CK.FP_SEED)
+            hix = XX.hash_str_array(canonicals, CK.IX_SEED)
+            fp, i1 = CK._fp_i1(hfp, hix, self._bloom_bm.shape[0])
+            CK.bulk_insert(self._bloom_bm, fp, i1)
+            return
+        h1 = XX.hash_str_array(canonicals)
+        h2 = XX.hash_str_array(canonicals, 1)
+        bits = BL._probe_bits(h1, h2, self._bloom_m).ravel()
+        np.bitwise_or.at(
+            self._bloom_bm, bits >> 3, (1 << (bits & 7)).astype(np.uint8)
+        )
+
+    def _membership_probe(
+        self, seen_keys: list[str], item_keys: list[str]
+    ) -> tuple[set, set]:
+        """ONE job answering both exact membership questions of a fast
+        round: which candidate link canonicals are in `seen`, and which
+        candidate book canonicals are in `items`. Each side is a broadcast
+        left-semi join (key list broadcast, state table streamed — the
+        same scan shape as the distributed anti-joins, no shuffle)."""
+        parts = []
+        if seen_keys:
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in seen_keys], "canonical string"
+            )
+            parts.append(
+                self.seen.join(F.broadcast(kdf), "canonical", "leftsemi")
+                .select(F.col("canonical").alias("k"), F.lit("s").alias("src"))
+            )
+        if item_keys:
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in item_keys], "canonical_url string"
+            )
+            parts.append(
+                self.items.join(F.broadcast(kdf), "canonical_url", "leftsemi")
+                .select(
+                    F.col("canonical_url").alias("k"), F.lit("i").alias("src")
+                )
+            )
+        if not parts:
+            return set(), set()
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        rows = df.collect()
+        return (
+            {r["k"] for r in rows if r["src"] == "s"},
+            {r["k"] for r in rows if r["src"] == "i"},
+        )
+
+    def _run_round_fast(self) -> bool:
+        """Driver-side twin of run_round for sub-batch rounds.
+
+        Same observable semantics, two Spark jobs instead of ~20: (1) the
+        fetch — an isin-filter collect against the page store (the
+        distributed broadcast-join's degenerate case), (2) the combined
+        exact membership probe (_membership_probe). Parse/dedup/seq run on
+        the driver through the SAME pure-Python kernels the pandas UDFs
+        wrap (functions/kernels — fuzz-verified against the compiled
+        reference), sanitized at the same boundary (udfs._san); bloom and
+        cuckoo updates go through the xxh64 driver twin, bit-identical to
+        the JVM-hashed updates. State increments become LocalRelations —
+        leaf plans that need no localCheckpoint pin. Equivalence with the
+        distributed path is asserted per scenario in
+        tests/test_fast_rounds.py, and the goldens/differential fuzz run
+        over whichever path the gate picks.
+        """
+        t0 = time.time()
+        _ph: dict[str, float] = {}
+        _last = [t0]
+
+        def mark(name: str) -> None:
+            now = time.time()
+            _ph[name] = round((now - _last[0]) * 1000, 1)
+            _last[0] = now
+
+        rows = sorted(self._frontier_rows(), key=lambda r: r[0])  # seq order
+
+        # --- min_delay eligibility + per-host budget (run_round twin) ----
+        deferred_hosts: set = set()
+        if self.min_delay > 1 and self._host_last_round:
+            deferred_hosts = {
+                h
+                for h, lr in self._host_last_round.items()
+                if self.round_num - lr < self.min_delay
+            }
+        elig = [r for r in rows if r[4] not in deferred_hosts]
+        if self.host_budget is not None:
+            taken: dict[str, int] = {}
+            slice_rows = []
+            for r in elig:
+                k = taken.get(r[4], 0) + 1
+                taken[r[4]] = k
+                if k <= self.host_budget:
+                    slice_rows.append(r)
+        else:
+            slice_rows = elig
+        n_slice = len(slice_rows)
+        if n_slice == 0 and deferred_hosts:
+            # idle round: every queued host inside its revisit window —
+            # empty increments, clock advances (run_round's idle branch)
+            self._seen_parts.append(
+                self.spark.createDataFrame([], SEEN_SCHEMA)
+            )
+            self._item_parts.append(
+                self.spark.createDataFrame([], ITEMS_SCHEMA)
+            )
+            mark("dequeue_fetch")
+            self.metrics.append(
+                RoundMetrics(
+                    round=self.round_num, urls_dequeued=0, urls_fetched=0,
+                    fetch_misses=0, books_found=0, links_extracted=0,
+                    links_new=0, links_dup=0, links_ignored=0,
+                    wall_ms=(time.time() - t0) * 1000, phase_ms=_ph,
+                    ts=time.strftime("%Y-%m-%d %H:%M:%S"),
+                )
+            )
+            self.round_num += 1
+            self._write_checkpoint()
+            return True
+
+        # --- fetch: job 1 — collect the slice's page-store hits. _pid is
+        # computed with the SAME expression repartition(n, url) places by
+        # (pmod(murmur3(url), n)), so lineage counts match the
+        # distributed parse stage exactly -------------------------------
+        urls = [r[2] for r in slice_rows]
+        hit_rows = (
+            self.pages.filter(F.col("url").isin(urls))
+            .select(
+                "url", "html",
+                F.pmod(F.hash(F.col("url")), F.lit(self.n_part))
+                .cast("int")
+                .alias("_pid"),
+            )
+            .collect()
+        )
+        pages_by_url = {r["url"]: r for r in hit_rows}
+
+        # --- max_pages truncation (exclusive prefix-count of hits) ------
+        if self.max_pages > 0:
+            remaining = self.max_pages - self.pages_crawled
+            popped = []
+            before = 0
+            for r in slice_rows:
+                if before < remaining:
+                    popped.append(r)
+                if r[2] in pages_by_url:
+                    before += 1
+        else:
+            popped = slice_rows
+        n_popped = len(popped)
+        if n_popped == 0:
+            self.stopped = True
+            return False
+        if self.min_delay > 1:
+            for r in popped:
+                self._host_last_round[r[4]] = self.round_num
+
+        hits = [r for r in popped if r[2] in pages_by_url]
+        n_hits = len(hits)
+        if self.record_dequeues:
+            for r in popped:
+                self.dequeue_log.append(
+                    (self.round_num, r[0], r[1], r[2] in pages_by_url)
+                )
+        mark("dequeue_fetch")
+        self.pages_crawled += n_hits
+
+        # --- parse: the UDF kernels, driver-side, same _san boundary ----
+        _san = U._san
+        part_counts: dict[int, int] = {}
+        pods: list[tuple] = []  # (parent_seq, book_rank, title, price, rating, url, canonical)
+        link_rows: list[tuple] = []  # (parent_seq, link_rank, link)
+        n_extracted = 0
+        n_ignored = 0
+        for r in hits:
+            seq, path = r[0], r[1]
+            page = pages_by_url[r[2]]
+            pid = page["_pid"]
+            part_counts[pid] = part_counts.get(pid, 0) + 1
+            html = page["html"]
+            page_url = self.base_url + path
+            if html is None:
+                continue
+            raw = bytes(html)
+            if K.is_category_page(path):  # == book_parse_gate_expr(path)
+                for rank, bk in enumerate(K.parse_books(raw, page_url)):
+                    u = _san(bk.url)
+                    pods.append(
+                        (seq, rank, _san(bk.title), _san(bk.price),
+                         bk.rating, u, K.canonicalize_url(u))
+                    )
+            links = [_san(x) for x in K.extract_all_links(raw, page_url)]
+            n_extracted += len(links)
+            kept = [x for x in links if not K.should_ignore_url(x)]
+            n_ignored += len(links) - len(kept)
+            for rank, link in enumerate(kept):
+                link_rows.append((seq, rank, link))
+
+        # --- books: within-round first-wins by (parent_seq, book_rank) --
+        book_winners: list[tuple] = []
+        seen_canon_round: set = set()
+        for p in pods:  # pods is already in (parent_seq, book_rank) order
+            if p[6] not in seen_canon_round:
+                seen_canon_round.add(p[6])
+                book_winners.append(p)
+
+        # --- links: scope → robots → canonicalize → bloom pre-filter ----
+        if self.robots_rules is not None and self._robots_local is None:
+            self._robots_local = [
+                (rr["host"], rr["prefix"]) for rr in self.robots_rules.collect()
+            ]
+        n_robots_blocked = 0
+        cand_rows: list[tuple] = []  # (parent_seq, link_rank, path, url, canonical)
+        for parent_seq, link_rank, link in link_rows:
+            if link.startswith(self.base_url):
+                path = link[len(self.base_url):]
+            else:
+                path = link
+            if self._robots_local:
+                lhost = K.url_host(link)
+                if any(
+                    lhost == rh and path.startswith(rp)
+                    for rh, rp in self._robots_local
+                ):
+                    n_robots_blocked += 1
+                    continue
+            cand_rows.append(
+                (parent_seq, link_rank, path, self.base_url + path,
+                 K.canonicalize_url(link))
+            )
+        n_ignored += n_robots_blocked
+
+        n_bloom_checked = -1
+        if self.use_bloom:
+            self._bloom_ensure()
+            flags = self._bloom_probe_local([c[4] for c in cand_rows])
+            n_bloom_checked = int(flags.sum()) if len(cand_rows) else 0
+            maybe_canons = {
+                c[4] for c, f in zip(cand_rows, flags) if bool(f)
+            }
+        else:
+            maybe_canons = {c[4] for c in cand_rows}
+
+        # --- job 2: ONE exact membership probe for both flows -----------
+        found_seen, found_items = self._membership_probe(
+            sorted(maybe_canons),
+            sorted({w[6] for w in book_winners}),
+        )
+
+        # --- items: drop already-known canonicals, stamp item_seq -------
+        item_rows = []
+        for w in book_winners:
+            if w[6] in found_items:
+                continue
+            parent_seq, rank, title, price, rating, url, canon = w
+            # NULL propagation matches the Catalyst twins (_dedup_select):
+            # a NULL input column yields a NULL value, never a coerced 0
+            item_rows.append(
+                (
+                    self.items_count + len(item_rows), parent_seq, rank,
+                    url, canon, title, price, rating,
+                    None if price is None else K.price_to_double(price),
+                    None if rating is None else K.rating_to_int(rating),
+                    None
+                    if url is None
+                    else K.classify_item_type(K.url_host(url)),
+                    self.round_num,
+                )
+            )
+        new_item_count = len(item_rows)
+        new_items = self.spark.createDataFrame(item_rows, ITEMS_SCHEMA)
+        self._item_parts.append(new_items)
+        self.items = self.items.unionByName(new_items)
+        self.items_count += new_item_count
+        mark("parse_books")
+
+        # --- links: first-wins per canonical, drop seen, stamp seq ------
+        mark("extract_links")
+        new_frontier_rows: list[tuple] = []
+        new_seen_rows: list[tuple] = []
+        taken_canon: set = set()
+        for parent_seq, link_rank, path, url, canon in cand_rows:
+            if canon in taken_canon or canon in found_seen:
+                continue
+            taken_canon.add(canon)
+            s = self.next_seq + len(new_frontier_rows)
+            new_frontier_rows.append(
+                (s, path, url, canon, K.url_host(url), parent_seq,
+                 link_rank, self.round_num + 1, 0)
+            )
+            new_seen_rows.append((canon, s, self.round_num + 1))
+        n_new = len(new_frontier_rows)
+        self.next_seq += n_new
+        mark("dedup_seq")
+
+        popped_seqs = {r[0] for r in popped}
+        if n_popped == self.frontier_size:
+            mirror = list(new_frontier_rows)
+        else:
+            mirror = [
+                r for r in rows if r[0] not in popped_seqs
+            ] + new_frontier_rows
+        self._frontier_local = mirror
+        self.frontier = self.spark.createDataFrame(mirror, FRONTIER_SCHEMA)
+        self.frontier_size = len(mirror)
+
+        new_seen = self.spark.createDataFrame(new_seen_rows, SEEN_SCHEMA)
+        self._seen_parts.append(new_seen)
+        self.seen = self.seen.unionByName(new_seen)
+        self.seen_count += n_new
+        if self.use_bloom and n_new:
+            self._bloom_add_local([c for (c, _s, _r) in new_seen_rows])
+        mark("state_update")
+
+        self.metrics.append(
+            RoundMetrics(
+                round=self.round_num,
+                urls_dequeued=n_popped,
+                urls_fetched=n_hits,
+                fetch_misses=n_popped - n_hits,
+                books_found=new_item_count,
+                links_extracted=n_extracted,
+                links_new=n_new,
+                links_dup=n_extracted - n_ignored - n_new,
+                links_ignored=n_ignored,
+                wall_ms=(time.time() - t0) * 1000,
+                partition_fetch_counts=part_counts,
+                phase_ms=_ph,
+                ts=time.strftime("%Y-%m-%d %H:%M:%S"),
+                bloom_checked=n_bloom_checked,
+            )
+        )
+        self.round_num += 1
+        self._write_checkpoint()
+        if self.max_pages > 0 and n_popped < n_slice:
+            self.stopped = True
+        return True
+
     # ------------------------------------------------------------------ round
 
     def run_round(self) -> bool:
@@ -503,6 +935,8 @@ class CrawlEngine:
             return False
         if self.frontier_size == 0:
             return False
+        if self._fast_eligible():
+            return self._run_round_fast()
         t0 = time.time()
         _ph: dict[str, float] = {}
         _last = [t0]
@@ -1066,6 +1500,8 @@ class CrawlEngine:
             )
             self.frontier = self._pin(leftover.unionByName(new_frontier))
             self.frontier_size = self.frontier_size - n_popped + n_new
+        # frontier rebuilt distributed — the driver mirror is stale
+        self._frontier_local = None
 
         new_seen = new_frontier.select("canonical", "seq", "round_added")
         self._seen_parts.append(new_seen)
