@@ -119,6 +119,7 @@ def crawl_bench(spark, n_books: int) -> dict:
         "crawl_site_pages": n_pages,
         "urls_per_sec": round(eng.pages_crawled / wall, 2),
         "rounds_to_drain": eng.round_num,
+        "fast_rounds": sum(1 for m in eng.metrics if m.fast_path),
         "crawl_items": eng.items_count,
         "bloom_candidate_rows": candidates,
         "bloom_checked_rows": checked,

@@ -96,6 +96,8 @@ class RoundMetrics:
     # rows that survived the Bloom pre-filter and went to the exact
     # anti-join; -1 = bloom disabled (then ALL candidates hit the join)
     bloom_checked: int = -1
+    # True when the round ran on the driver fast path (_run_round_fast)
+    fast_path: bool = False
 
 
 class CrawlEngine:
@@ -661,6 +663,14 @@ class CrawlEngine:
             _ph[name] = round((now - _last[0]) * 1000, 1)
             _last[0] = now
 
+        import os as _os
+
+        _detail = _os.environ.get("SPARK_PHASE_DETAIL") == "1"
+
+        def dmark(name: str) -> None:
+            if _detail:
+                mark(name)
+
         rows = sorted(self._frontier_rows(), key=lambda r: r[0])  # seq order
 
         # --- min_delay eligibility + per-host budget (run_round twin) ----
@@ -700,6 +710,7 @@ class CrawlEngine:
                     links_new=0, links_dup=0, links_ignored=0,
                     wall_ms=(time.time() - t0) * 1000, phase_ms=_ph,
                     ts=time.strftime("%Y-%m-%d %H:%M:%S"),
+                    fast_path=True,
                 )
             )
             self.round_num += 1
@@ -828,12 +839,14 @@ class CrawlEngine:
             }
         else:
             maybe_canons = {c[4] for c in cand_rows}
+        dmark("f.parse_py")
 
         # --- job 2: ONE exact membership probe for both flows -----------
         found_seen, found_items = self._membership_probe(
             sorted(maybe_canons),
             sorted({w[6] for w in book_winners}),
         )
+        dmark("f.probe_job")
 
         # --- items: drop already-known canonicals, stamp item_seq -------
         item_rows = []
@@ -916,6 +929,7 @@ class CrawlEngine:
                 phase_ms=_ph,
                 ts=time.strftime("%Y-%m-%d %H:%M:%S"),
                 bloom_checked=n_bloom_checked,
+                fast_path=True,
             )
         )
         self.round_num += 1
