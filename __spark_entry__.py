@@ -971,6 +971,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_rules"] = robots_rules
 
+    # ---- robots.txt -> per-host Crawl-delay (politeness pacing: feeds
+    # CrawlEngine(min_delay=crawl_delay_rounds(...)); oracle from stdlib
+    # urllib.robotparser.crawl_delay, an independent parser) ----
+
+    def robots_crawl_delay(spark, sf):
+        from pyspark.sql import functions as F
+
+        from distributed_web_scrapper_and_crawler_c__spark.sources import (
+            robots as R,
+        )
+
+        df = spark.createDataFrame(
+            _robots_delay_fixture(), "host STRING, robots_txt STRING"
+        )
+        # delay_rounds = the engine knob for a crawl whose rounds take
+        # ~2 s of wall clock (crawl_delay_rounds twin, Spark-side)
+        return (
+            R.robots_host_delays_from_texts(df, agent="spark-crawler")
+            .withColumn(
+                "delay_rounds",
+                F.ceil(F.col("crawl_delay") / F.lit(2.0)).cast("int"),
+            )
+            .orderBy("host")
+        )
+
+    q["robots_crawl_delay"] = robots_crawl_delay
+
     return q
 
 
@@ -1506,6 +1533,47 @@ def _robots_fixture() -> list[tuple[str, str]]:
     ]
 
 
+def _robots_delay_fixture() -> list[tuple[str, str]]:
+    """Crawl-delay bodies inside the shared stdlib subset (integer delays,
+    one group per agent token): specific-beats-default, *-only, absent,
+    and a non-numeric value both parsers must ignore."""
+    return [
+        (
+            "a.example",
+            "User-agent: spark-crawler\nCrawl-delay: 3\nDisallow: /x\n\n"
+            "User-agent: *\nCrawl-delay: 10\n",
+        ),
+        ("b.example", "User-agent: *\nCrawl-delay: 7\nDisallow: /admin\n"),
+        ("c.example", "User-agent: *\nDisallow: /q\n"),
+        ("d.example", "User-agent: *\nCrawl-delay: soon\n"),
+    ]
+
+
+def _robots_delay_golden(
+    agent: str = "spark-crawler",
+) -> list[tuple[str, float | None, int | None]]:
+    """Independent twin for robots_crawl_delay: stdlib urllib.robotparser
+    parses each body and reports crawl_delay(agent); the rounds mapping is
+    recomputed here with math.ceil (round_seconds=2.0, matching the Spark
+    side's F.ceil(crawl_delay / 2.0))."""
+    import math
+    import urllib.robotparser
+
+    rows: list[tuple[str, float | None, int | None]] = []
+    for host, text in _robots_delay_fixture():
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(text.splitlines())
+        d = rp.crawl_delay(agent)
+        rows.append(
+            (
+                host,
+                None if d is None else float(d),
+                None if d is None else math.ceil(float(d) / 2.0),
+            )
+        )
+    return sorted(rows)
+
+
 def _robots_golden(agent: str = "spark-crawler") -> list[tuple[str, str]]:
     """Independent twin: let stdlib urllib.robotparser parse each body,
     then read the Disallow prefixes out of ITS entry objects — a separately
@@ -1977,6 +2045,15 @@ FROM embeddings GROUP BY label
     o["robots_rules"] = _literal_select(
         _robots_golden(),
         [("host", "VARCHAR"), ("prefix", "VARCHAR")],
+    )
+
+    o["robots_crawl_delay"] = _literal_select(
+        _robots_delay_golden(),
+        [
+            ("host", "VARCHAR"),
+            ("crawl_delay", "DOUBLE"),
+            ("delay_rounds", "INTEGER"),
+        ],
     )
 
     # every queries() entry now has an oracle_sql() twin: SQL-expressible

@@ -13,10 +13,13 @@ Supported grammar (documented subset):
    product token;
  - ``Disallow:`` lines add a path prefix to the open group; an EMPTY
    Disallow means allow-everything and adds no rule;
- - ``#`` comments and blank lines are stripped; Allow/Crawl-delay/
-   Request-rate emit no rule but count as rule lines for group structure
-   (as in stdlib robotparser); Sitemap and unknown directives are fully
-   inert;
+ - ``#`` comments and blank lines are stripped; Allow/Request-rate emit
+   no rule but count as rule lines for group structure (as in stdlib
+   robotparser); Sitemap and unknown directives are fully inert;
+ - ``Crawl-delay:`` is ALSO a rule line for group structure, and its
+   value (seconds; last one in a group wins, like robotparser) feeds the
+   engine's revisit-spacing knob — see :func:`parse_robots_crawl_delay`
+   and :func:`crawl_delay_rounds`;
  - group selection for the configured agent: the groups naming the agent
    exactly (case-insensitive) if any exist for that host, else the ``*``
    groups — RFC 9309 §2.2.1's specific-beats-default, flattened;
@@ -37,26 +40,31 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 RULES_SCHEMA = "host STRING, prefix STRING"
+DELAYS_SCHEMA = "host STRING, crawl_delay DOUBLE"
 
 
-def parse_robots_text(text: str, agent: str = "*") -> list[str]:
-    """Disallow prefixes applicable to ``agent`` from one robots.txt body.
-    Pure kernel (driver- and executor-safe).
+class _Group:
+    """One REP group: the agent run that opened it, its Disallow prefixes,
+    and its Crawl-delay seconds (None when the group specifies none)."""
 
-    The line state machine mirrors the 1994 REP exactly as stdlib
-    ``urllib.robotparser`` implements it: a group is an agent run followed
-    by rule lines; a blank line closes a rules group, and an agent run
-    interrupted by a blank line before any rule is DISCARDED; a new
-    ``User-agent`` after rules closes the group and starts the next agent
-    run; non-rule directives (Sitemap, Crawl-delay, ...) do not break an
-    agent run. Divergence from robotparser, per RFC 9309 §2.2.1: multiple
-    groups naming the same agent are COMBINED (robotparser keeps only the
-    first); agent tokens match exactly (robotparser substring-matches).
-    Tests assert verdict equivalence on fixtures inside the shared
-    subset."""
-    agent = agent.lower()
-    groups: list[tuple[list[str], list[str]]] = []  # (agents, prefixes)
-    cur: tuple[list[str], list[str]] | None = None
+    __slots__ = ("agents", "prefixes", "delay")
+
+    def __init__(self) -> None:
+        self.agents: list[str] = []
+        self.prefixes: list[str] = []
+        self.delay: float | None = None
+
+
+def _parse_groups(text: str) -> list[_Group]:
+    """The shared 1994-REP line state machine (see module docstring): a
+    group is an agent run followed by rule lines; a blank line closes a
+    rules group, and an agent run interrupted by a blank line before any
+    rule is DISCARDED; a new ``User-agent`` after rules closes the group
+    and starts the next agent run; non-rule directives (Sitemap, unknown
+    keys) do not break an agent run — exactly as stdlib
+    ``urllib.robotparser`` classifies lines."""
+    groups: list[_Group] = []
+    cur: _Group | None = None
     state = 0  # 0 idle, 1 in agent run, 2 in rule lines
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -76,24 +84,85 @@ def parse_robots_text(text: str, agent: str = "*") -> list[str]:
                 groups.append(cur)
                 cur = None
             if cur is None:
-                cur = ([], [])
-            cur[0].append(value.lower())
+                cur = _Group()
+            cur.agents.append(value.lower())
             state = 1
         elif field in ("disallow", "allow", "crawl-delay", "request-rate"):
-            # Allow/Crawl-delay/Request-rate are outside the prefix-table
-            # subset (no rule emitted), but they ARE rule lines for group
-            # structure — exactly as robotparser classifies them
+            # Allow/Request-rate are outside the prefix-table subset (no
+            # rule emitted), but they ARE rule lines for group structure —
+            # exactly as robotparser classifies them. Crawl-delay both
+            # counts as a rule line AND captures its seconds value (last
+            # valid one in a group wins, as robotparser overwrites).
             if state != 0 and cur is not None:
                 if field == "disallow" and value:
-                    cur[1].append(value)
+                    cur.prefixes.append(value)
+                elif field == "crawl-delay":
+                    try:
+                        d = float(value)
+                    except ValueError:
+                        d = -1.0
+                    if d >= 0:
+                        cur.delay = d
                 state = 2
         # any other directive (Sitemap, unknown keys): no state change
         # (robotparser-compatible)
     if state == 2 and cur is not None:
         groups.append(cur)
-    if any(agent in agents for agents, _ps in groups):
-        return [p for agents, ps in groups if agent in agents for p in ps]
-    return [p for agents, ps in groups if "*" in agents for p in ps]
+    return groups
+
+
+def _applicable(groups: list[_Group], agent: str) -> list[_Group]:
+    """RFC 9309 §2.2.1 group selection, flattened: the groups naming the
+    agent exactly (case-insensitive) if any exist, else the ``*`` groups."""
+    agent = agent.lower()
+    if any(agent in g.agents for g in groups):
+        return [g for g in groups if agent in g.agents]
+    return [g for g in groups if "*" in g.agents]
+
+
+def parse_robots_text(text: str, agent: str = "*") -> list[str]:
+    """Disallow prefixes applicable to ``agent`` from one robots.txt body.
+    Pure kernel (driver- and executor-safe).
+
+    The line state machine (``_parse_groups``) mirrors the 1994 REP exactly
+    as stdlib ``urllib.robotparser`` implements it. Divergence from
+    robotparser, per RFC 9309 §2.2.1: multiple groups naming the same agent
+    are COMBINED (robotparser keeps only the first); agent tokens match
+    exactly (robotparser substring-matches). Tests assert verdict
+    equivalence on fixtures inside the shared subset."""
+    return [p for g in _applicable(_parse_groups(text), agent)
+            for p in g.prefixes]
+
+
+def parse_robots_crawl_delay(text: str, agent: str = "*") -> float | None:
+    """Crawl-delay seconds applicable to ``agent``, or None when no
+    applicable group specifies one. Pure kernel.
+
+    Group selection is identical to :func:`parse_robots_text`; when RFC
+    9309 combining yields several applicable groups with delays, the MAX
+    wins (the conservative politeness choice — robotparser would keep the
+    first, and the shared-subset fixtures have one group per agent, where
+    the two coincide; tests assert equivalence there). Values are parsed
+    as floats (Crawl-delay is a de-facto extension with fractional values
+    in the wild; robotparser accepts digits only — fixtures inside the
+    shared subset use integers)."""
+    delays = [g.delay for g in _applicable(_parse_groups(text), agent)
+              if g.delay is not None]
+    return max(delays) if delays else None
+
+
+def crawl_delay_rounds(delay_sec: float | None, round_seconds: float) -> int:
+    """Map a Crawl-delay to the engine's rounds-between-visits knob
+    (``CrawlEngine(min_delay=...)``, plans/frontier.py Q8): with one crawl
+    round taking ~``round_seconds`` of wall clock, a host revisited every
+    ``d`` rounds sees ≥ ``d * round_seconds`` between visits, so the
+    smallest compliant spacing is ``ceil(delay / round_seconds)``. None or
+    non-positive delays map to 0 (off)."""
+    if delay_sec is None or delay_sec <= 0 or round_seconds <= 0:
+        return 0
+    import math
+
+    return math.ceil(delay_sec / round_seconds)
 
 
 def robots_rules_from_texts(
@@ -115,4 +184,30 @@ def robots_rules_from_texts(
 
     return robots.select("host", "robots_txt").mapInPandas(
         parse, RULES_SCHEMA
+    )
+
+
+def robots_host_delays_from_texts(
+    robots: DataFrame, agent: str = "*"
+) -> DataFrame:
+    """(host, robots_txt) → (host, crawl_delay seconds) politeness table,
+    one row PER HOST (crawl_delay NULL when the host's robots.txt sets
+    none for this agent). Same one-pass mapInPandas shape as the rules
+    table; feed ``crawl_delay_rounds`` of the crawled host's value into
+    ``CrawlEngine(min_delay=...)`` to enforce it."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "crawl_delay": [
+                        parse_robots_crawl_delay(t, agent)
+                        for t in pdf["robots_txt"]
+                    ],
+                }
+            )
+
+    return robots.select("host", "robots_txt").mapInPandas(
+        parse, DELAYS_SCHEMA
     )

@@ -162,3 +162,140 @@ def test_rules_table_spark_and_frontier_integration(spark):
     ).count()
     assert n_cat == 0
     assert eng.pages_crawled > 0
+
+
+# ------------------------------------------------------------- Crawl-delay
+
+
+def _stdlib_delay(text: str, agent: str):
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(text.splitlines())
+    return rp.crawl_delay(agent)
+
+
+def test_crawl_delay_group_selection():
+    txt = (
+        "User-agent: spark-crawler\nCrawl-delay: 2\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 10\n"
+    )
+    # specific group beats *, even for the delay value
+    assert R.parse_robots_crawl_delay(txt, "spark-crawler") == 2.0
+    assert R.parse_robots_crawl_delay(txt, "other") == 10.0
+    # a specific group WITHOUT a delay shadows the * group's delay
+    # (stdlib crawl_delay agrees: first matching entry wins outright)
+    txt2 = "User-agent: a\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 5\n"
+    assert R.parse_robots_crawl_delay(txt2, "a") is None
+    assert _stdlib_delay(txt2, "a") is None
+    assert R.parse_robots_crawl_delay(txt2, "b") == 5.0
+
+
+def test_crawl_delay_value_parsing():
+    # last valid value in a group wins (robotparser overwrites too)
+    txt = "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 7\n"
+    assert R.parse_robots_crawl_delay(txt, "*") == 7.0
+    # invalid / negative values are ignored but still close the agent run
+    assert R.parse_robots_crawl_delay("User-agent: *\nCrawl-delay: soon\n", "*") is None
+    assert R.parse_robots_crawl_delay("User-agent: *\nCrawl-delay: -2\n", "*") is None
+    # fractional seconds accepted (documented de-facto extension)
+    assert R.parse_robots_crawl_delay("User-agent: *\nCrawl-delay: 0.5\n", "*") == 0.5
+    assert R.parse_robots_crawl_delay("", "*") is None
+    assert R.parse_robots_crawl_delay(None, "*") is None
+
+
+def test_crawl_delay_rfc_combining_takes_max():
+    txt = (
+        "User-agent: a\nCrawl-delay: 2\n\n"
+        "User-agent: a\nCrawl-delay: 9\n\n"
+        "User-agent: a\nDisallow: /x\n"
+    )
+    # documented divergence: combined groups -> conservative MAX
+    assert R.parse_robots_crawl_delay(txt, "a") == 9.0
+
+
+def test_crawl_delay_matches_stdlib_on_subset():
+    fixtures = [
+        BASIC,
+        "User-agent: *\nCrawl-delay: 4\nDisallow: /p\n",
+        "User-agent: bot\nCrawl-delay: 1\n\nUser-agent: *\nDisallow: /q\n",
+        "User-agent: *\nDisallow: /p\n",
+        "",
+    ]
+    for text in fixtures:
+        for agent in ("*", "bot", "archiver", "nobody"):
+            assert R.parse_robots_crawl_delay(text, agent) == _stdlib_delay(
+                text, agent
+            ), (text, agent)
+
+
+def test_crawl_delay_matches_stdlib_randomized():
+    rng = random.Random(4099)
+    agents_pool = ["alpha", "beta", "gamma", "*"]
+    for _case in range(200):
+        k = rng.randint(1, 3)
+        chosen = rng.sample(agents_pool, k)
+        lines: list[str] = []
+        for a in chosen:
+            lines.append(f"User-agent: {a}")
+            if rng.random() < 0.7:
+                lines.append(f"Crawl-delay: {rng.randint(1, 9)}")
+            for _ in range(rng.randint(0, 2)):
+                lines.append("Disallow: /x")
+            lines.append("")
+        text = "\n".join(lines)
+        for agent in ("alpha", "delta", "*"):
+            ours = R.parse_robots_crawl_delay(text, agent)
+            theirs = _stdlib_delay(text, agent)
+            # stdlib returns int for digit values; compare numerically
+            assert (ours is None) == (theirs is None), (text, agent)
+            if ours is not None:
+                assert float(ours) == float(theirs), (text, agent)
+
+
+def test_crawl_delay_rounds_mapping():
+    assert R.crawl_delay_rounds(None, 1.0) == 0
+    assert R.crawl_delay_rounds(0.0, 1.0) == 0
+    assert R.crawl_delay_rounds(3.0, 1.0) == 3
+    assert R.crawl_delay_rounds(3.0, 2.0) == 2   # ceil(1.5)
+    assert R.crawl_delay_rounds(0.5, 1.0) == 1
+    assert R.crawl_delay_rounds(10.0, 0.0) == 0  # unknown round wall: off
+
+
+def test_host_delays_table_and_engine_wiring(spark):
+    from distributed_web_scrapper_and_crawler_c__spark.oracle import (
+        crawl_oracle,
+    )
+    from distributed_web_scrapper_and_crawler_c__spark.plans.frontier import (
+        CrawlEngine,
+    )
+    from distributed_web_scrapper_and_crawler_c__spark.sources import sitegen
+
+    host = "books.toscrape.com"
+    robots_df = spark.createDataFrame(
+        [
+            (host, "User-agent: *\nCrawl-delay: 2\nDisallow: /private\n"),
+            ("quiet.example", "User-agent: *\nDisallow: /x\n"),
+        ],
+        "host STRING, robots_txt STRING",
+    )
+    delays = {
+        r["host"]: r["crawl_delay"]
+        for r in R.robots_host_delays_from_texts(robots_df).collect()
+    }
+    assert delays == {host: 2.0, "quiet.example": None}
+
+    # end-to-end: the parsed delay drives min_delay and the crawl is
+    # byte-exact against the oracle run with the same spacing
+    d = R.crawl_delay_rounds(delays[host], round_seconds=1.0)
+    assert d == 2
+    spec = sitegen.SiteSpec(n_books=12, n_categories=2, books_per_page=6)
+    pages = sitegen.pages_dataframe(spark, spec, slices=2)
+    eng = CrawlEngine(spark, pages, min_delay=d, host_budget=3)
+    eng.record_dequeues = True
+    eng.run("/catalogue/page-1.html")
+    res = crawl_oracle.crawl(
+        sitegen.pages_dict(spec), host_budget=3, min_delay=d
+    )
+    assert [(r, s, p, f) for (r, s, p, f) in eng.dequeue_log] == [
+        (x.round, x.seq, x.path, x.fetched) for x in res.dequeues
+    ]
+    assert eng.round_num == res.rounds
