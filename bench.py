@@ -88,6 +88,27 @@ HEADLINE = [
 ]
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """Spin up the JVM codegen pipeline, the Python-worker pool and the
+    Arrow transfer path ONCE before the clock starts — the same policy
+    bench_scaling.py documents for the scale job. Without this the first
+    headline query (q1) absorbs ~3-5s of one-time spin-up that is not
+    operator cost. Touches only the 5-row region table, no headline data."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's signature sniffing rejects — returnType says it all
+    @pandas_udf("long")
+    def _identity(s):
+        return s
+
+    spark.range(100_000).select(F.sum(F.col("id") * 2)).collect()
+    _force(spark.range(10_000).select(_identity("id").alias("x")))
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+
 def crawl_bench(spark, n_books: int) -> dict:
     """Generate a synthetic site and drain the frontier; the engine's real
     workload. Returns urls/sec and rounds-to-drain (BASELINE.json metrics)."""
@@ -139,6 +160,10 @@ def main() -> None:
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    t0 = time.time()
+    warmup(spark, sf_dir)
+    warmup_sec = round(time.time() - t0, 3)
+
     qmap = entry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -165,6 +190,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "cpus": cpus,
+        # one-time spin-up cost, deliberately OUTSIDE the timed queries
+        # (see warmup()); reported for transparency
+        "warmup_sec": warmup_sec,
         **crawl,
     }
     print(json.dumps(out))

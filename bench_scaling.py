@@ -280,6 +280,10 @@ def worker(cores: int) -> None:
         "urls_per_sec": round(eng.pages_crawled / wall, 2),
         "round_walls_ms": [round(m.wall_ms) for m in eng.metrics],
         "phase_ms": phases,
+        # profiling runs only (SPARK_PHASE_DETAIL=1): per-round sub-phase
+        # walls, so a regression can be pinned to the round that pays it
+        **({"round_phase_ms": [m.phase_ms for m in eng.metrics]}
+           if os.environ.get("SPARK_PHASE_DETAIL") == "1" else {}),
     }))
     spark.stop()
 

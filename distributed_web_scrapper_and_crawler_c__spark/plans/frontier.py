@@ -1198,7 +1198,18 @@ class CrawlEngine:
         # module attribute, not an import-by-value: plan gates must track
         # runtime overrides of seq.SMALL_SEQ_ROWS exactly like seq.py's own
         # gates do (tests monkeypatch it to force the scale path)
-        if n_books_upper < seq_mod.SMALL_SEQ_ROWS:
+        if n_books_upper == 0:
+            # bookless round (every fetched page failed the parse gate —
+            # the common case for detail-page rounds): the stats agg above
+            # already proved the explode is empty, so skip the whole books
+            # flow. Worth real time, not just jobs: every books job scans
+            # the FULL pinned parse (a LogicalRDD leaf deserializes whole
+            # rows — no column pruning of the links arrays), so the two
+            # jobs this skips each re-read the round's entire parse output
+            # to produce zero rows.
+            new_items = self.spark.createDataFrame([], ITEMS_SCHEMA)
+            new_item_count = 0
+        elif n_books_upper < seq_mod.SMALL_SEQ_ROWS:
             # small rounds: seen anti-join + first-wins window + one-shuffle
             # window seq, pinned once
             wb = Window.partitionBy("canonical_url").orderBy(
@@ -1286,7 +1297,18 @@ class CrawlEngine:
             n_trouble = sum(r["trouble"] for r in bstats)
             n_kill = sum(r["kill_rows"] for r in bstats)
             new_item_count = sum(bucket_counts.values())
-            if n_trouble == 0:
+            if new_item_count == 0:
+                # pure re-listing round (every pod canonical already in
+                # items — e.g. category pages re-listing books found on
+                # listing pages): zero survivors is already decided by the
+                # narrow side-channel, so the whole wide flow — kill-list
+                # join, seq stamp, final pin, or the two-shuffle fallback
+                # a huge kill list would force — produces zero rows. Skip
+                # it. This is the dominant books cost of the scale job's
+                # second round.
+                wide_kept = None
+                new_items = self.spark.createDataFrame([], ITEMS_SCHEMA)
+            elif n_trouble == 0:
                 # common crawl round: every pod is a fresh, unique canonical
                 # — no kill join at all
                 wide_kept = pods
