@@ -153,7 +153,16 @@ class CrawlEngine:
         # ignore list (F11, HtmlParser.cpp:258-278) into a joinable table.
         # Applied at enqueue time, like the reference's link filter — blocked
         # urls never enter the frontier OR the seen-set.
+        # Two schemas, dispatched on the `allow` column: the (host, prefix)
+        # disallow table keeps the broadcast anti-join; the full RFC 9309
+        # table from sources.robots.full_rules_from_texts (host, pattern,
+        # allow, plen, pattern_re, is_prefix) gets the longest-match verdict
+        # plan (one broadcast join of a one-row-per-host rules array +
+        # higher-order-function filter — sources.robots.robots_allowed_col).
         self.robots_rules = robots_rules
+        self._robots_full = (
+            robots_rules is not None and "allow" in robots_rules.columns
+        )
         # F7 in the hot path: the whole-stage-codegen expression twin of the
         # canonicalize kernel (byte-equal — ASCII-only translate lowering;
         # fuzz-asserted in tests). False falls back to the pandas UDF.
@@ -805,17 +814,42 @@ class CrawlEngine:
 
         # --- links: scope → robots → canonicalize → bloom pre-filter ----
         if self.robots_rules is not None and self._robots_local is None:
-            self._robots_local = [
-                (rr["host"], rr["prefix"]) for rr in self.robots_rules.collect()
-            ]
+            if self._robots_full:
+                # host → [(pattern, allow)] for the pure longest-match
+                # kernel (robots_allowed) — the driver twin of the
+                # distributed robots_allowed_col plan
+                from collections import defaultdict
+
+                by_host: dict = defaultdict(list)
+                for rr in self.robots_rules.collect():
+                    by_host[rr["host"]].append((rr["pattern"], rr["allow"]))
+                self._robots_local = [("__full__", dict(by_host))]
+            else:
+                self._robots_local = [
+                    (rr["host"], rr["prefix"])
+                    for rr in self.robots_rules.collect()
+                ]
         n_robots_blocked = 0
         cand_rows: list[tuple] = []  # (parent_seq, link_rank, path, url, canonical)
+        _full_map = (
+            self._robots_local[0][1]
+            if self._robots_full and self._robots_local
+            else None
+        )
         for parent_seq, link_rank, link in link_rows:
             if link.startswith(self.base_url):
                 path = link[len(self.base_url):]
             else:
                 path = link
-            if self._robots_local:
+            if _full_map is not None:
+                from ..sources.robots import robots_allowed
+
+                if not robots_allowed(
+                    _full_map.get(K.url_host(link), []), path
+                ):
+                    n_robots_blocked += 1
+                    continue
+            elif self._robots_local:
                 lhost = K.url_host(link)
                 if any(
                     lhost == rh and path.startswith(rp)
@@ -1403,7 +1437,27 @@ class CrawlEngine:
         # (the oracle's accounting) — derived from the post-filter row count
         # in the pinned stats below, no extra job.
         has_robots = self.robots_rules is not None
-        if has_robots:
+        if has_robots and self._robots_full:
+            # full RFC 9309 mode: ONE broadcast left join against the
+            # one-row-per-host rules array, verdict evaluated JVM-side by
+            # higher-order functions (longest match, Allow wins ties —
+            # sources.robots.robots_allowed_col); hosts without rules get a
+            # NULL array = allowed. No row multiplication, no extra shuffle.
+            from ..sources import robots as RB
+
+            hr = RB.host_rules_frame(self.robots_rules).withColumnRenamed(
+                "host", "_rhost"
+            )
+            kept = (
+                kept.join(
+                    F.broadcast(hr),
+                    X.url_host_expr(F.col("link")) == F.col("_rhost"),
+                    "left",
+                )
+                .filter(RB.robots_allowed_col(F.col("_rules"), F.col("path")))
+                .drop("_rhost", "_rules")
+            )
+        elif has_robots:
             rules = self.robots_rules.select(
                 F.col("host").alias("_rhost"),
                 F.col("prefix").alias("_rprefix"),

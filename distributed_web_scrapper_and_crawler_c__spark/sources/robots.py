@@ -30,6 +30,26 @@ For rule sets inside this subset the verdicts coincide with stdlib
 ``urllib.robotparser`` (all-Disallow groups: blocked iff any applicable
 prefix matches) — which is what the tests assert, as an independent
 implementation of the same spec.
+
+Full RFC 9309 matching (the second half of this module) lifts the subset:
+:func:`parse_robots_rules` also captures ``Allow:`` lines and the ``*`` /
+trailing-``$`` wildcards, :func:`robots_allowed` is the pure longest-match
+kernel (most-octets pattern wins, Allow wins a tie, no match ⇒ allowed —
+RFC 9309 §2.2.2), and :func:`full_rules_from_texts` +
+:func:`robots_allowed_col` express the whole verdict in Catalyst: rules
+aggregate to ONE array row per host, the links side takes ONE broadcast
+join, and the winning rule is ``array_max`` over a ``filter``/``transform``
+of that array (struct comparison is lexicographic, so ``(plen, allow)``
+IS the RFC precedence) — no per-row Python, no row multiplication, no
+second shuffle, scale-ready for millions of hosts (the per-host row is
+KB-sized regardless of frontier size). Documented RFC choices: an empty
+Allow/Disallow value matches nothing and emits no rule (§2.2.2; stdlib
+instead turns an empty Disallow into an allow-all rule — verdicts inside
+the shared all-Disallow subset coincide, which the tests assert); ``$``
+is an end anchor only as the LAST pattern octet, literal elsewhere;
+pattern priority is ``len(pattern)`` as written (the anchor ``$`` counts,
+matching google/robotstxt's pattern-length priority); comparison is raw
+octets, no percent-normalization on either side.
 """
 
 from __future__ import annotations
@@ -44,14 +64,17 @@ DELAYS_SCHEMA = "host STRING, crawl_delay DOUBLE"
 
 
 class _Group:
-    """One REP group: the agent run that opened it, its Disallow prefixes,
-    and its Crawl-delay seconds (None when the group specifies none)."""
+    """One REP group: the agent run that opened it, its Disallow prefixes
+    (the anti-join subset), its full ``(pattern, allow)`` rule list in file
+    order (the RFC 9309 matcher's input), and its Crawl-delay seconds
+    (None when the group specifies none)."""
 
-    __slots__ = ("agents", "prefixes", "delay")
+    __slots__ = ("agents", "prefixes", "rules", "delay")
 
     def __init__(self) -> None:
         self.agents: list[str] = []
         self.prefixes: list[str] = []
+        self.rules: list[tuple[str, bool]] = []
         self.delay: float | None = None
 
 
@@ -96,6 +119,10 @@ def _parse_groups(text: str) -> list[_Group]:
             if state != 0 and cur is not None:
                 if field == "disallow" and value:
                     cur.prefixes.append(value)
+                if field in ("disallow", "allow") and value:
+                    # full-rule capture (RFC 9309): empty values match
+                    # nothing and emit no rule for either directive
+                    cur.rules.append((value, field == "allow"))
                 elif field == "crawl-delay":
                     try:
                         d = float(value)
@@ -211,3 +238,145 @@ def robots_host_delays_from_texts(
     return robots.select("host", "robots_txt").mapInPandas(
         parse, DELAYS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Full RFC 9309 matching: Allow + wildcards + longest-match precedence
+# ---------------------------------------------------------------------------
+
+FULL_RULES_SCHEMA = (
+    "host STRING, pattern STRING, allow BOOLEAN, plen INT, "
+    "pattern_re STRING, is_prefix BOOLEAN"
+)
+
+
+def parse_robots_rules(text: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """All ``(pattern, allow)`` rules applicable to ``agent`` from one
+    robots.txt body, in file order. Pure kernel; same group selection and
+    RFC combining as :func:`parse_robots_text`."""
+    return [r for g in _applicable(_parse_groups(text), agent)
+            for r in g.rules]
+
+
+def pattern_regex(pattern: str) -> tuple[str, bool, bool]:
+    """Translate one robots pattern to ``(regex, anchored, is_prefix)``.
+
+    ``*`` matches any run of octets (including empty); a ``$`` as the LAST
+    octet anchors the match at path end (literal anywhere else); matching
+    always starts at the path's first octet, so the regex is ``^``-rooted
+    (Spark's ``regexp_like`` / ``RLIKE`` is contains-semantics and needs
+    the explicit root). ``is_prefix`` is True when the pattern has no
+    wildcard at all — the caller can then use plain ``startswith`` and
+    skip regex evaluation entirely."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    parts = body.split("*")
+    regex = "^" + ".*".join(_re.escape(p) for p in parts)
+    if anchored:
+        regex += r"\Z"
+    is_prefix = not anchored and len(parts) == 1
+    return regex, anchored, is_prefix
+
+
+def robots_allowed(rules: list[tuple[str, bool]], path: str) -> bool:
+    """RFC 9309 §2.2.2 verdict for one path. Longest (most-octets) matching
+    pattern wins; on a length tie Allow wins; no matching rule ⇒ allowed.
+    Pattern priority is ``len(pattern)`` as written (see module docstring).
+    Pure kernel — the driver fast path and the tests evaluate exactly this;
+    the distributed plan (:func:`robots_verdict_cols`) is its Catalyst
+    twin."""
+    import re as _re
+
+    best: tuple[int, int] | None = None
+    for pattern, allow in rules:
+        regex, _, is_prefix = pattern_regex(pattern)
+        if is_prefix:
+            hit = path.startswith(pattern)
+        else:
+            hit = _re.search(regex, path) is not None
+        if hit:
+            key = (len(pattern), 1 if allow else 0)
+            if best is None or key > best:
+                best = key
+    return True if best is None else bool(best[1])
+
+
+def full_rules_from_texts(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, robots_txt) → the full-rules table ``(host, pattern, allow,
+    plen, pattern_re, is_prefix)``. One mapInPandas pass, same shape as
+    :func:`robots_rules_from_texts`; ``plen``/``pattern_re``/``is_prefix``
+    are precomputed here so the per-link verdict plan touches no Python.
+    Feed to ``CrawlEngine(robots_rules=...)`` — the engine dispatches on
+    the ``allow`` column being present."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "host": [], "pattern": [], "allow": [], "plen": [],
+                "pattern_re": [], "is_prefix": [],
+            }
+            for host, text in zip(pdf["host"], pdf["robots_txt"]):
+                for pattern, allow in parse_robots_rules(text, agent):
+                    regex, _, is_prefix = pattern_regex(pattern)
+                    out["host"].append(host)
+                    out["pattern"].append(pattern)
+                    out["allow"].append(allow)
+                    out["plen"].append(len(pattern))
+                    out["pattern_re"].append(regex)
+                    out["is_prefix"].append(is_prefix)
+            yield pd.DataFrame(out)
+
+    return robots.select("host", "robots_txt").mapInPandas(
+        parse, FULL_RULES_SCHEMA
+    )
+
+
+def host_rules_frame(full_rules: DataFrame) -> DataFrame:
+    """Aggregate the full-rules table to ONE row per host:
+    ``(host, _rules array<struct<plen:int, allow:int, pattern:string,
+    pattern_re:string, is_prefix:boolean>>)``. The array is KB-sized per
+    host regardless of frontier size, so the links side joins it with a
+    single broadcast hash join and evaluates the verdict with higher-order
+    functions — no row multiplication, no re-aggregation shuffle."""
+    from pyspark.sql import functions as F
+
+    return full_rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.col("plen"),
+                F.col("allow").cast("int").alias("allow"),
+                F.col("pattern"),
+                F.col("pattern_re"),
+                F.col("is_prefix"),
+            )
+        ).alias("_rules")
+    )
+
+
+def robots_allowed_col(rules_col, path_col):
+    """Catalyst twin of :func:`robots_allowed`: a BooleanType Column over
+    a ``_rules`` array column (see :func:`host_rules_frame`) and a path
+    column. ``filter`` keeps the matching rules (plain ``startswith`` for
+    wildcard-free patterns, ``regexp_like`` otherwise — the regex is
+    ``^``-rooted, so contains-semantics RLIKE anchors correctly);
+    ``array_max`` over ``struct(plen, allow)`` IS the RFC precedence
+    (lexicographic struct comparison: longest pattern first, Allow wins
+    the tie). NULL / empty rules array ⇒ allowed."""
+    from pyspark.sql import functions as F
+
+    best = F.array_max(
+        F.transform(
+            F.filter(
+                rules_col,
+                lambda r: F.when(
+                    r["is_prefix"], path_col.startswith(r["pattern"])
+                ).otherwise(F.regexp_like(path_col, r["pattern_re"])),
+            ),
+            lambda r: F.struct(
+                r["plen"].alias("plen"), r["allow"].alias("allow")
+            ),
+        )
+    )
+    return best.isNull() | (best["allow"] == 1)

@@ -79,3 +79,15 @@ def test_crawl_fetch_join_broadcasts_budgeted_slice(spark):
     p = plan_str(fetch)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_robots_verdict_join_broadcasts(spark):
+    import __spark_entry__ as E
+
+    # full RFC 9309 mode: the one-row-per-host rules array joins the links
+    # side with a single broadcast hash join; the verdict itself is
+    # higher-order-function evaluation — no sort-merge join, no shuffle of
+    # the probed side, no row-multiplying rules join to re-aggregate
+    p = plan_str(E.queries()["robots_allow_verdicts"](spark, SF))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
