@@ -380,3 +380,54 @@ def robots_allowed_col(rules_col, path_col):
         )
     )
     return best.isNull() | (best["allow"] == 1)
+
+
+def robots_from_pages(
+    pages: DataFrame, agent: str = "*", full: bool = True
+) -> DataFrame:
+    """Rules table straight from the page store: Common-Crawl-style stores
+    keep robots.txt responses as ordinary page rows, so the crawl can be
+    self-configuring — filter ``*/robots.txt`` rows, decode the body, and
+    parse per host. When the store carries ``warc_ts`` (the input shape),
+    the LATEST capture per host wins (``max_by``); otherwise the
+    lexicographically greatest body is kept, for determinism. ``full=True``
+    yields the RFC 9309 table (:func:`full_rules_from_texts` — the engine
+    dispatches on its ``allow`` column); ``full=False`` the (host, prefix)
+    anti-join subset. Wire as::
+
+        CrawlEngine(spark, pages, robots_rules=robots_from_pages(pages))
+
+    The whole derivation is one filter + one tiny groupBy over the robots
+    rows only (pushed-down ``LIKE`` prefix scan at the store), then the
+    usual one-pass mapInPandas parse — nothing touches the non-robots
+    pages."""
+    from pyspark.sql import functions as F
+
+    rows = pages.filter(
+        F.col("url").rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+/robots\.txt$")
+    ).select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://", ""
+            ),
+            r"/robots\.txt$",
+            "",
+        ).alias("host"),
+        F.decode(F.col("html"), "UTF-8").alias("robots_txt"),
+        *(
+            [F.col("warc_ts")]
+            if "warc_ts" in pages.columns
+            else []
+        ),
+    )
+    if "warc_ts" in pages.columns:
+        texts = rows.groupBy("host").agg(
+            F.expr("max_by(robots_txt, warc_ts)").alias("robots_txt")
+        )
+    else:
+        texts = rows.groupBy("host").agg(
+            F.max("robots_txt").alias("robots_txt")
+        )
+    if full:
+        return full_rules_from_texts(texts, agent)
+    return robots_rules_from_texts(texts, agent)

@@ -312,3 +312,63 @@ def test_engine_full_rules_distributed_vs_fast(spark):
         not any(o.split("books.toscrape.com", 1)[1] in c for c in seen)
         for o in others
     ), "non-carved categories must stay blocked"
+
+
+def test_robots_from_pages_latest_capture_wins(spark):
+    """Self-configuring crawl: robots.txt rows in the page store become
+    the rules table; with warc_ts present the LATEST capture per host
+    wins; the derived full-rules table drives the engine end to end."""
+    import datetime
+
+    from distributed_web_scrapper_and_crawler_c__spark.plans.frontier import (
+        CrawlEngine,
+    )
+    from distributed_web_scrapper_and_crawler_c__spark.sources import sitegen
+
+    spec = sitegen.SiteSpec(n_books=12, n_categories=3, books_per_page=6)
+    pages = sitegen.pages_dataframe(spark, spec, slices=2)
+
+    old = (
+        "User-agent: *\nDisallow: /media/\n"  # stale capture: mild rule
+    )
+    new = (
+        "User-agent: *\nDisallow: /catalogue/category/\n"  # current rule
+    )
+    robots_rows = spark.createDataFrame(
+        [
+            (
+                "http://books.toscrape.com/robots.txt",
+                datetime.datetime(2026, 1, 1),
+                old.encode(),
+                old,
+                "en",
+            ),
+            (
+                "http://books.toscrape.com/robots.txt",
+                datetime.datetime(2026, 6, 1),
+                new.encode(),
+                new,
+                "en",
+            ),
+        ],
+        sitegen.PAGES_SCHEMA,
+    )
+    store = pages.unionByName(robots_rows)
+
+    full = R.robots_from_pages(store, agent="spark-crawler")
+    rules = full.collect()
+    assert [(r["pattern"], r["allow"]) for r in rules] == [
+        ("/catalogue/category/", False)
+    ], "latest warc_ts capture must win"
+
+    eng = CrawlEngine(spark, store, robots_rules=full).run(
+        "/catalogue/page-1.html"
+    )
+    seen = [r["canonical"] for r in eng.seen.collect()]
+    assert seen and not any("/catalogue/category/" in c for c in seen)
+
+    # prefix mode from the same store: the anti-join-subset table
+    pref = R.robots_from_pages(store, agent="spark-crawler", full=False)
+    assert [tuple(r) for r in pref.collect()] == [
+        ("books.toscrape.com", "/catalogue/category/")
+    ]
