@@ -27,6 +27,14 @@ CELLS = [
     (2400000, 4, 2, 10240, 64, 900),
 ]
 
+# R5_BOOKS=4800000 switches to the second headline pair (same shapes,
+# longer caps — the 4.8M 1x2 best is ~934s).
+if os.environ.get("R5_BOOKS") == "4800000":
+    CELLS = [
+        (4800000, 1, 2, 10240, 64, 2400),
+        (4800000, 4, 2, 10240, 64, 1200),
+    ]
+
 
 def _prep(books: int) -> None:
     path = f"/dev/shm/scaling_pages_{books}"
