@@ -5,6 +5,12 @@ Env:  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
       SPARK_GRAFT_CPUS    local[N] cores (default 32)
       SPARK_GRAFT_CRAWL_BOOKS  synthetic-site size for the crawl bench
                                (default 3000 books ≈ 3.2k pages)
+      SPARK_GRAFT_BENCH_REPEATS  runs per query, min-wall reported
+                                 (default 2 — this shared VM's host
+                                 oversubscription inflates identical runs
+                                 up to ~2.5x; throttling only ever ADDS
+                                 time, so min estimates true cost. Same
+                                 protocol as BENCH/BASELINE.md.)
 
 Prints exactly one JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
@@ -164,18 +170,29 @@ def main() -> None:
     warmup(spark, sf_dir)
     warmup_sec = round(time.time() - t0, 3)
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+
     qmap = entry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qmap:
             continue
-        t0 = time.time()
-        _force(qmap[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            _force(qmap[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
-    t0 = time.time()
-    crawl = crawl_bench(spark, n_books)
-    timings["crawl_drain"] = round(time.time() - t0, 3)
+    crawl: dict = {}
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        c = crawl_bench(spark, n_books)
+        wall = time.time() - t0
+        if wall < best:
+            best, crawl = wall, c
+    timings["crawl_drain"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -193,6 +210,8 @@ def main() -> None:
         # one-time spin-up cost, deliberately OUTSIDE the timed queries
         # (see warmup()); reported for transparency
         "warmup_sec": warmup_sec,
+        # min-wall over this many runs per query (see module docstring)
+        "bench_repeats": repeats,
         **crawl,
     }
     print(json.dumps(out))
