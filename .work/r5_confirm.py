@@ -46,8 +46,26 @@ def _prep(books: int) -> None:
                     "--prep"], cwd=HERE, env=env, check=True)
 
 
+def _wait_calm(min_fops: int, max_wait_s: int) -> int:
+    """Probe host speed; in a throttled epoch (fops below min_fops) sleep
+    and re-probe instead of burning 10-25 min on a sample that min-wall
+    will discard anyway. Returns the last probe value (the cell runs
+    regardless once the wait budget is spent — a labeled inflated sample
+    still adds to the run count)."""
+    deadline = time.time() + max_wait_s
+    fops = probe_fops()
+    while fops < min_fops and time.time() < deadline:
+        print(f"THROTTLED fops={fops} < {min_fops}, waiting "
+              f"({int(deadline - time.time())}s budget left)", flush=True)
+        time.sleep(120)
+        fops = probe_fops()
+    return fops
+
+
 def main() -> None:
     cycles = int(os.environ.get("R5_CYCLES", "1"))
+    min_fops = int(os.environ.get("R5_MIN_FOPS", "62000"))
+    max_wait_s = int(os.environ.get("R5_MAX_WAIT_S", "1800"))
     for books, *_rest in CELLS:
         _prep(books)
     for _ in range(cycles):
@@ -61,7 +79,7 @@ def main() -> None:
                        SPARK_SCALING_STORE_LEVEL="none",
                        SPARK_SCALING_READER_BATCH="4",
                        SPARK_SCALING_LOCAL_DIR="/tmp/spark-local")
-            fops = probe_fops()
+            fops = _wait_calm(min_fops, max_wait_s)
             print(f"START books={books} cell={n_exec}x{c} cap={cap}s "
                   f"fops={fops} at {time.strftime('%H:%M:%S')}", flush=True)
             try:
