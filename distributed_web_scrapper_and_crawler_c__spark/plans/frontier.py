@@ -73,6 +73,13 @@ COMPACT_MIN_PARTS = 8
 # the driver's per-round re-analysis of an O(rounds)-node union) when
 # rounds are tiny and the doubling rule would never fire
 COMPACT_MAX_PARTS = 32
+# below this row count the doubling rule is waived: repinning a small state
+# is one sub-second job, and waiting for COMPACT_MAX_PARTS lets tiny-round
+# tails (1-URL pagination chains) grow the union to dozens of leaves
+SMALL_COMPACT_ROWS = 1 << 17
+# ... and small states fold at this (lower) part count, since each union
+# leaf costs ~0.3-0.5s of per-plan overhead in every later probe/anti-join
+SMALL_COMPACT_PARTS = 3
 
 FRONTIER_SCHEMA = (
     "seq long, path string, url string, canonical string, host string, "
@@ -131,7 +138,7 @@ class CrawlEngine:
         compact_every: int = 0,
         priority_expr=None,
         seen_filter: str = "bloom",
-        fast_round_rows: int = 64,
+        fast_round_rows: int = 512,
     ):
         self.spark = spark
         self.pages = pages.select("url", "html")
@@ -266,6 +273,13 @@ class CrawlEngine:
         # Crawler.cpp:135-317) make 1-URL rounds the common tail case; at
         # 10^10 scale the gate simply never fires on real rounds, exactly
         # like seq.SMALL_SEQ_ROWS. 0 disables (always-distributed).
+        # Default = 512, from a measured crossover on the sf0.1 bench site
+        # (local[32], .work/fast_crossover.py): driver rounds win clearly
+        # below ~500 rows (1-row tail: ~1.2s vs ~3.9s; 260 rows: ~3.5s vs
+        # ~6.5s), reach parity around ~1.5k mixed rows, and the driver
+        # parse of a listing-heavy 1k+ round (~7ms/page single-threaded)
+        # would lose to the distributed plan — 512 keeps the win with
+        # margin for listing-heavy mixes.
         self.fast_round_rows = fast_round_rows
         # driver mirror of the frontier rows (FRONTIER_SCHEMA order) —
         # populated by seed()/fast rounds, dropped (None) whenever the
@@ -327,23 +341,39 @@ class CrawlEngine:
         THIS round's increment) holds because the fold runs BEFORE the
         round appends its part. This is the in-memory twin of the
         checkpoint's compact_every fold; old pinned blocks are GC-released
-        via Spark's ContextCleaner once the dropped refs die."""
+        via Spark's ContextCleaner once the dropped refs die.
+
+        Small states (< SMALL_COMPACT_ROWS) additionally fold whenever the
+        part count alone reaches SMALL_COMPACT_PARTS, doubling or not, and
+        the fold coalesces to a handful of partitions: below that size a
+        repin is one sub-second job and a later scan should be a handful of
+        tasks, while the doubling rule would let a long tail of tiny rounds
+        (pagination chains dequeue 1 URL/round and add ~1 row) pile up
+        leaves until COMPACT_MAX_PARTS — measured on the sf0.1 drain, each
+        extra leaf crept the fast rounds' membership probe +0.3-0.5s
+        (per-plan codegen/broadcast overhead, independent of leaf size).
+        The doubling rule still governs big states, where repins are NOT
+        cheap and amortization matters."""
         if self.seen is not None and len(self._seen_parts) > 1:
             n = len(self._seen_parts)
+            small = self.seen_count < SMALL_COMPACT_ROWS
             if n >= COMPACT_MAX_PARTS or (
                 n >= COMPACT_MIN_PARTS
                 and self.seen_count >= 2 * self._seen_last_compact
-            ):
-                self.seen = self._pin(self.seen)
+            ) or (small and n >= SMALL_COMPACT_PARTS):
+                folded = self.seen.coalesce(4) if small else self.seen
+                self.seen = self._pin(folded)
                 self._seen_parts = [self.seen]
                 self._seen_last_compact = self.seen_count
         if len(self._item_parts) > 1:
             n = len(self._item_parts)
+            small = self.items_count < SMALL_COMPACT_ROWS
             if n >= COMPACT_MAX_PARTS or (
                 n >= COMPACT_MIN_PARTS
                 and self.items_count >= 2 * self._items_last_compact
-            ):
-                self.items = self._pin(self.items)
+            ) or (small and n >= SMALL_COMPACT_PARTS):
+                folded = self.items.coalesce(4) if small else self.items
+                self.items = self._pin(folded)
                 self._item_parts = [self.items]
                 self._items_last_compact = self.items_count
 
