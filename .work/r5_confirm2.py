@@ -43,6 +43,7 @@ def probe_membw(mb: int = 512, reps: int = 3) -> float:
 CYCLE = [
     (2400000, 4, 2, 10240, 64, 900),
     (2400000, 4, 2, 10240, 64, 900),
+    (2400000, 4, 2, 10240, 64, 900),
     (2400000, 1, 2, 10240, 64, 1500),
 ]
 
@@ -90,9 +91,12 @@ def main() -> None:
                        SPARK_SCALING_LOCAL_DIR="/tmp/spark-local")
             fops = _wait_calm(min_fops, max_wait_s)
             membw = probe_membw()
+            from membw_probe import probe as agg_probe
+            membw8 = agg_probe(8, mb=256, reps=3)
             print(f"START cyc={cyc} books={books} cell={n_exec}x{c} "
                   f"cap={cap}s fops={fops} membw={membw}GB/s "
-                  f"at {time.strftime('%H:%M:%S')}", flush=True)
+                  f"membw8={membw8}GB/s at {time.strftime('%H:%M:%S')}",
+                  flush=True)
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.join(HERE, "bench_scaling.py"),
@@ -114,6 +118,7 @@ def main() -> None:
             r["books"] = books
             r["probe_fops"] = fops
             r["probe_membw_gbs"] = membw
+            r["probe_membw8_gbs"] = membw8
             r["head"] = "r5"
             with open(RAW, "a") as f:
                 f.write(json.dumps(r) + "\n")
