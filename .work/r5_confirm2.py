@@ -47,6 +47,31 @@ CYCLE = [
     (2400000, 1, 2, 10240, 64, 1500),
 ]
 
+# R5_LOCAL_DIR overrides the executors' shuffle/spill dir. The default
+# /tmp/spark-local sits on the shared virtio disk — a resource a real
+# cluster never shares across nodes (each node has its own local SSD).
+# /dev/shm/spark-local removes that single-box artifact for pair runs.
+LOCAL_DIR = os.environ.get("R5_LOCAL_DIR", "/tmp/spark-local")
+
+
+def probe_disk(mb: int = 512) -> float:
+    """O_DIRECT sequential write MB/s on the /tmp disk — the shuffle
+    spill path; throttle here inflates exactly the shuffle-heavy phases
+    and hits the high-parallelism cell ~4x harder than the 1x2 cell."""
+    p = "/tmp/.probe_dd"
+    t0 = time.time()
+    rc = subprocess.run(
+        ["dd", f"if=/dev/zero", f"of={p}", "bs=1M", f"count={mb}",
+         "oflag=direct"], capture_output=True)
+    dt = time.time() - t0
+    try:
+        os.unlink(p)
+    except OSError:
+        pass
+    if rc.returncode != 0:
+        return -1.0
+    return round(mb / dt, 1)
+
 
 def _prep(books: int) -> None:
     path = f"/dev/shm/scaling_pages_{books}"
@@ -88,14 +113,16 @@ def main() -> None:
                        SPARK_SCALING_SHUFFLE=str(shuf),
                        SPARK_SCALING_STORE_LEVEL="none",
                        SPARK_SCALING_READER_BATCH="4",
-                       SPARK_SCALING_LOCAL_DIR="/tmp/spark-local")
+                       SPARK_SCALING_LOCAL_DIR=LOCAL_DIR)
             fops = _wait_calm(min_fops, max_wait_s)
             membw = probe_membw()
             from membw_probe import probe as agg_probe
             membw8 = agg_probe(8, mb=256, reps=3)
+            disk = probe_disk()
             print(f"START cyc={cyc} books={books} cell={n_exec}x{c} "
                   f"cap={cap}s fops={fops} membw={membw}GB/s "
-                  f"membw8={membw8}GB/s at {time.strftime('%H:%M:%S')}",
+                  f"membw8={membw8}GB/s disk={disk}MB/s "
+                  f"dir={LOCAL_DIR} at {time.strftime('%H:%M:%S')}",
                   flush=True)
             try:
                 out = subprocess.run(
@@ -119,6 +146,7 @@ def main() -> None:
             r["probe_fops"] = fops
             r["probe_membw_gbs"] = membw
             r["probe_membw8_gbs"] = membw8
+            r["probe_disk_mbs"] = disk
             r["head"] = "r5"
             with open(RAW, "a") as f:
                 f.write(json.dumps(r) + "\n")
