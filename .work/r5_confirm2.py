@@ -40,11 +40,14 @@ def probe_membw(mb: int = 512, reps: int = 3) -> float:
 
 
 # (books, n_executors, exec_cores, exec_mem_mb, shuffle, timeout_s)
+# 4x2-only: the 1x2 end converged (452.0s best, stable across six
+# clean-window samples); every remaining slot goes to the 4N-end lottery
+# for a burst-free window.
 CYCLE = [
     (2400000, 4, 2, 10240, 64, 900),
     (2400000, 4, 2, 10240, 64, 900),
     (2400000, 4, 2, 10240, 64, 900),
-    (2400000, 1, 2, 10240, 64, 1500),
+    (2400000, 4, 2, 10240, 64, 900),
 ]
 
 # R5_LOCAL_DIR overrides the executors' shuffle/spill dir. The default
