@@ -53,6 +53,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + scan-parallelism guard (plans/parallelize.spread): the testdata
+    tables are single-row-group parquet files, which pin every fused
+    downstream stage (synth-column build + pandas-UDF parse) to ONE scan
+    task; spread() repartitions to the session parallelism only when the
+    scan is narrower — a no-op on real multi-file cluster layouts. Used by
+    the queries whose per-row work (UDFs, regexp, hashing) dominates."""
+    from distributed_web_scrapper_and_crawler_c__spark.plans.parallelize import (
+        spread,
+    )
+
+    return spread(_t(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship
 # ---------------------------------------------------------------------------
@@ -295,7 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- crawl kernels over synthesized URLs (F6/F7/F9/F10/F11/F16) ----
 
     def url_canonicalize(spark, sf):
-        u = _t(spark, sf, "part").selectExpr("p_partkey", f"{URL_EXPR} AS url")
+        u = _ts(spark, sf, "part").selectExpr("p_partkey", f"{URL_EXPR} AS url")
         return u.select(
             "p_partkey", "url", U.canonicalize_udf(F.col("url")).alias("canonical")
         )
@@ -304,7 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def url_canonicalize_expr(spark, sf):
         # expression (codegen) form of F7 — same answer as the UDF form
-        u = _t(spark, sf, "part").selectExpr("p_partkey", f"{URL_EXPR} AS url")
+        u = _ts(spark, sf, "part").selectExpr("p_partkey", f"{URL_EXPR} AS url")
         return u.selectExpr(
             "p_partkey", "url", X.canonicalize_url_sql("url") + " AS canonical"
         )
@@ -312,7 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_canonicalize_expr"] = url_canonicalize_expr
 
     def url_predicates(spark, sf):
-        u = _t(spark, sf, "part").selectExpr("p_partkey", f"{URL_EXPR} AS url")
+        u = _ts(spark, sf, "part").selectExpr("p_partkey", f"{URL_EXPR} AS url")
         return u.select(
             "p_partkey",
             X.is_book_page_expr(F.col("url")).alias("is_book"),
@@ -323,7 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_predicates"] = url_predicates
 
     def url_classify(spark, sf):
-        h = _t(spark, sf, "customer").selectExpr("c_custkey", f"{HOST_EXPR} AS host")
+        h = _ts(spark, sf, "customer").selectExpr("c_custkey", f"{HOST_EXPR} AS host")
         return h.select(
             "c_custkey", "host",
             X.classify_item_type_expr(F.col("host")).alias("item_type"),
@@ -332,7 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_classify"] = url_classify
 
     def price_rating_coercion(spark, sf):
-        p = _t(spark, sf, "part").selectExpr(
+        p = _ts(spark, sf, "part").selectExpr(
             "p_partkey",
             f"{PRICE_STR_EXPR} AS price_str",
             f"{RATING_WORD_EXPR} AS rating_word",
@@ -347,7 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["price_rating_coercion"] = price_rating_coercion
 
     def url_repair(spark, sf):
-        u = _t(spark, sf, "part").selectExpr(
+        u = _ts(spark, sf, "part").selectExpr(
             "p_partkey", f"{MALFORMED_URL_EXPR} AS url"
         )
         return u.select(
@@ -361,7 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- HTML parse kernels over synthesized pages (F1/F3/F4/F5/F6/F8) ----
 
     def parse_extract_between(spark, sf):
-        t = _t(spark, sf, "part").selectExpr(
+        t = _ts(spark, sf, "part").selectExpr(
             "p_partkey", f"{BETWEEN_TEXT_EXPR} AS text"
         )
         return t.select(
@@ -374,7 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["parse_extract_between"] = parse_extract_between
 
     def parse_books(spark, sf):
-        p = _t(spark, sf, "part").selectExpr(
+        p = _ts(spark, sf, "part").selectExpr(
             "p_partkey", f"{BOOKS_HTML_EXPR} AS html",
             f"{PAGE_URL_EXPR} AS page_url",
         )
@@ -388,7 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["parse_books"] = parse_books
 
     def parse_book_page(spark, sf):
-        p = _t(spark, sf, "part").selectExpr(
+        p = _ts(spark, sf, "part").selectExpr(
             "p_partkey", f"{DETAIL_HTML_EXPR} AS html",
             f"{PAGE_URL_EXPR} AS page_url",
         )
@@ -402,7 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["parse_book_page"] = parse_book_page
 
     def parse_find_next_link(spark, sf):
-        p = _t(spark, sf, "part").selectExpr(
+        p = _ts(spark, sf, "part").selectExpr(
             "p_partkey", f"{NEXT_HTML_EXPR} AS html"
         )
         return p.select(
@@ -413,7 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["parse_find_next_link"] = parse_find_next_link
 
     def url_normalize(spark, sf):
-        p = _t(spark, sf, "part").selectExpr(
+        p = _ts(spark, sf, "part").selectExpr(
             "p_partkey", f"{NORM_LINK_EXPR} AS link", f"{NORM_BASE_EXPR} AS base"
         )
         return p.select(
@@ -424,7 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_normalize"] = url_normalize
 
     def parse_extract_links(spark, sf):
-        p = _t(spark, sf, "part").selectExpr(
+        p = _ts(spark, sf, "part").selectExpr(
             "p_partkey", f"{LINKS_HTML_EXPR} AS html",
             f"{PAGE_URL_EXPR} AS page_url",
         )
@@ -440,7 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- content dedup on items (D3/D4, server.cpp:523-581) ----
 
     def dedup_content_book(spark, sf):
-        _t(spark, sf, "part").createOrReplaceTempView("part")
+        _ts(spark, sf, "part").createOrReplaceTempView("part")
         items = spark.sql(ITEMS_CONTENT_SQL)
         return DD.content_dedup(
             items, ["title", "price_value", "rating_value"], "id"
@@ -449,7 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_content_book"] = dedup_content_book
 
     def dedup_content_item(spark, sf):
-        _t(spark, sf, "part").createOrReplaceTempView("part")
+        _ts(spark, sf, "part").createOrReplaceTempView("part")
         items = spark.sql(ITEMS_CONTENT_SQL)
         return DD.content_dedup(
             items, ["item_type", "title", "price_value", "rating_value"], "id"
@@ -460,7 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- aggregations (A1-A6) ----
 
     def item_stats(spark, sf):
-        _t(spark, sf, "part").createOrReplaceTempView("part")
+        _ts(spark, sf, "part").createOrReplaceTempView("part")
         items = spark.sql(ITEMS_LIKE_SQL)
         return AGG.item_stats(items, "item_type", "price_value",
                               "rating_value", "category")
@@ -676,7 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- training-data ops: dedup ----
 
     def dedup_exact(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _ts(spark, sf, "documents")
         return (
             docs.select("doc_id", F.md5("text").alias("text_md5"))
             .groupBy("text_md5")

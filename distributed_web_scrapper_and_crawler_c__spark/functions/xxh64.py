@@ -16,8 +16,9 @@ evaluates it:
 - a long child takes the 8-byte specialization.
 
 Byte-equality with the JVM expression is asserted by fuzz in
-``tests/test_xxh64.py`` — the bloom/cuckoo bitmaps a fast round updates
-must be bit-identical to the ones a distributed round would produce.
+``tests/test_fast_rounds.py`` (test_xxh64_matches_spark_expression) — the
+bloom/cuckoo bitmaps a fast round updates must be bit-identical to the
+ones a distributed round would produce.
 """
 
 from __future__ import annotations

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from ..plans.parallelize import spread
+
 # ---------------------------------------------------------------------------
 # exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
@@ -38,7 +40,8 @@ def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
     Shuffles 16-byte digests, not document bodies — at 100 TB the map-side
     partial aggregation collapses each partition's duplicates first."""
     return (
-        docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.md5(F.col("text")).alias("text_md5"))
         .groupBy("text_md5")
         .agg(
             F.count("*").alias("n_docs"),
@@ -68,7 +71,8 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     explode), no Python."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     return (
-        docs.select("doc_id", toks.alias("toks"))
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= n)
         .select(
             "doc_id",
@@ -95,6 +99,34 @@ FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
 WHERE len(t) >= 3
 """
 
+
+def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles array<string>) — the DISTINCT word n-gram set per
+    document as ONE row, no explode. Same doc set and same shingle values as
+    :func:`shingles` (docs shorter than n tokens are absent), but the whole
+    computation is a per-row codegen projection: no Exchange at all, where
+    the exploded form pays a corpus-sized shuffle for every downstream
+    groupBy/distinct (guide §2.3/§2.4 — don't shuffle what a map can hold).
+    min()/intersection over the distinct set equal min()/intersection over
+    the multiset, so every consumer below gets identical values."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.col("toks")[i + j] for j in range(n)]
+                    ),
+                )
+            ).alias("shingles"),
+        )
+    )
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -103,15 +135,34 @@ N_HASHES = 8
 N_BANDS = 4  # rows per band = N_HASHES / N_BANDS = 2
 
 
+def _sig_cols() -> list:
+    """m0..m7 as per-row array expressions over a ``shingles`` array column:
+    array_min of md5("<j>:"+shingle). array_min on strings is the same
+    binary (lexicographic) comparison as the min() aggregate, and md5 hex
+    is ASCII — values are byte-identical to the exploded groupBy form."""
+    return [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)),
+            )
+        ).alias(f"m{j}")
+        for j in range(N_HASHES)
+    ]
+
+
 def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, m0..m7): per-doc minimum of md5("<j>:"+shingle) for 8 seeds.
-    One groupBy over the shingle explosion; min() is order- and
-    duplicate-insensitive, so no distinct is needed (and a pre-distincted
-    shingle set may be passed in via ``sh`` to share the explosion with
-    other stages — the min is identical either way). Hash values are hex
-    strings — lexicographic min matches DuckDB byte-for-byte."""
+    Default path: per-row array_min over the distinct shingle ARRAY
+    (:func:`doc_shingle_arrays`) — zero shuffles, where the old explode +
+    groupBy paid a corpus-sized Exchange (guide §2.4). min() is order- and
+    duplicate-insensitive, so the distinct set gives the identical value; a
+    pre-exploded shingle set may still be passed via ``sh`` (shared with
+    other stages), which keeps the one-groupBy aggregation form. Hash
+    values are hex strings — lexicographic min matches DuckDB
+    byte-for-byte."""
     if sh is None:
-        sh = shingles(docs)
+        return doc_shingle_arrays(docs).select("doc_id", *_sig_cols())
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"m{j}")
         for j in range(N_HASHES)
@@ -134,16 +185,10 @@ GROUP BY doc_id
 MINHASH_SQL = _minhash_sql_inner()
 
 
-def lsh_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
-    """Near-dup candidates: docs sharing any LSH band (band = concatenation
-    of 2 adjacent minhashes). Join key is the band value — cost is bounded
-    by bucket sizes, never all-pairs. Returns (doc_a, doc_b) with a < b.
-
-    The signature frame is pinned with localCheckpoint (not .cache()): it is
-    read once per band, and unlike CacheManager entries a checkpointed RDD
-    is released by the ContextCleaner when the frame goes out of scope — no
-    executor-storage leak across repeated invocations in a long session."""
-    sig = minhash_signatures(docs, sh=sh).localCheckpoint(eager=True)
+def _band_pairs(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) with a < b sharing any LSH band, from a
+    (pinned) signature frame. Join key is the band value — cost is bounded
+    by bucket sizes, never all-pairs."""
     pairs = None
     for b in range(N_BANDS):
         band = F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("band")
@@ -152,6 +197,18 @@ def lsh_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFra
         p = left.join(right, "band").filter(F.col("doc_a") < F.col("doc_b"))
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.select("doc_a", "doc_b").distinct()
+
+
+def lsh_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+    """Near-dup candidates: docs sharing any LSH band (band = concatenation
+    of 2 adjacent minhashes). Returns (doc_a, doc_b) with a < b.
+
+    The signature frame is pinned with localCheckpoint (not .cache()): it is
+    read once per band, and unlike CacheManager entries a checkpointed RDD
+    is released by the ContextCleaner when the frame goes out of scope — no
+    executor-storage leak across repeated invocations in a long session."""
+    sig = minhash_signatures(docs, sh=sh).localCheckpoint(eager=True)
+    return _band_pairs(sig)
 
 
 def _lsh_sql() -> str:
@@ -297,32 +354,34 @@ def near_dup_pipeline(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     pipeline bounds the exact computation by the LSH bucket collisions).
 
     Returns (doc_a, doc_b, jaccard) for candidate pairs with
-    jaccard ≥ threshold. Shingles are computed once (pinned via
-    localCheckpoint — released on GC, unlike .cache()) and reused by BOTH
-    the signature build and the exact intersection: min() over duplicates
-    equals min() over the distinct set, so the signatures read the same
-    pinned distinct-shingle frame."""
-    sh = shingles(docs).distinct().localCheckpoint(eager=True)
-    cands = lsh_candidate_pairs(docs, sh=sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # intersection sizes restricted to candidate pairs: join the candidate
-    # edge list to each side's shingle set — |A∩B| accumulates only over
-    # candidate docs' shingles, never an open self-join
-    inter = (
-        cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    jaccard ≥ threshold (callers pass threshold > 0: a pair with an empty
+    intersection is identically "below threshold" whether the edge is
+    absent, as in the old exploded-join form, or present with jaccard 0).
+
+    Shape (guide §2.3/§2.4): the per-doc DISTINCT shingle SET is computed
+    once as an array column (:func:`doc_shingle_arrays`, no explode) and
+    pinned; signatures are per-row array_mins over it (no groupBy
+    Exchange); the exact |A∩B| is ``size(array_intersect(...))`` evaluated
+    on the candidate edge list after two doc_id equi-joins — so the only
+    shuffles left are the band self-join and the two (candidate-bounded)
+    joins, and nothing ever shuffles at shingle-row granularity. The old
+    form shuffled the exploded shingle table four times (distinct, groupBy,
+    two intersection joins); values are identical because min() and
+    set-intersection are duplicate-insensitive and the same round/filter
+    arithmetic runs at the end."""
+    feat = doc_shingle_arrays(docs).localCheckpoint(eager=True)
+    sig = feat.select("doc_id", *_sig_cols()).localCheckpoint(eager=True)
+    cands = _band_pairs(sig)
+    a = feat.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sha"))
+    b = feat.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_shb"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("sz", "sza"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("sz", "szb"), "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a", "doc_b",
             F.round(
-                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+                inter / (F.size("_sha") + F.size("_shb") - inter), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -362,9 +421,10 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
     lens = np.array([len(l) for l in tok_lists], dtype=np.int64)
     if lens.sum() == 0:
         return pd.Series(out)
-    uniq, uidx = np.unique(
-        np.array([w for l in tok_lists for w in l], dtype=object),
-        return_inverse=True,
+    # hash-based factorize (no object-array sort — np.unique's sort was the
+    # batch's dominant cost); each DISTINCT token is md5-hashed exactly once
+    uidx, uniq = pd.factorize(
+        np.array([w for l in tok_lists for w in l], dtype=object)
     )
     hs_uniq = np.frombuffer(
         b"".join(hashlib.md5(w.encode()).digest()[:8] for w in uniq),
@@ -375,20 +435,20 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
         hs_uniq.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     )
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    # per-doc vote: a tiny (n_tokens, 64) gather + one sum. Deliberately NOT
-    # one huge (total_tokens, 64) matrix: that allocates O(batch) memory and
-    # large fresh allocations stall badly under memory pressure, while these
-    # per-doc temporaries stay cache-sized. The batch-level win is above:
-    # each DISTINCT token is hashed exactly once for the whole batch.
+    # one segmented vote for the whole batch: gather the per-token bit rows
+    # (uint8 — 64 bytes/token) and reduceat at the non-empty docs' start
+    # offsets (empty docs occupy zero flat positions, so each segment is
+    # exactly one doc's token run); accumulate in int64 without widening
+    # the gathered matrix
     ends = np.cumsum(lens)
-    for i, (s, e) in enumerate(zip(ends - lens, ends)):
-        if s == e:
-            continue
-        ones = bits_uniq[uidx[s:e]].sum(axis=0, dtype=np.int64)
-        fp = ((2 * ones - (e - s) > 0).astype(np.uint64) * weights).sum(
-            dtype=np.uint64
-        )
-        out[i] = np.int64(fp.astype(np.int64))
+    nz = lens > 0
+    starts_nz = (ends - lens)[nz]
+    ones = np.add.reduceat(bits_uniq[uidx], starts_nz, axis=0, dtype=np.int64)
+    votes = 2 * ones - lens[nz][:, None]
+    fps = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[np.flatnonzero(nz)] = fps.astype(np.int64)
     return pd.Series(out)
 
 
@@ -396,7 +456,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Hamming-ball pairs via 4-way band blocking (a pair within distance 3
     must agree on at least one of four 16-bit bands — pigeonhole), then an
     exact popcount filter. Band join keeps this far from all-pairs."""
-    sh = docs.select(
+    sh = spread(docs.select("doc_id", "text")).select(
         "doc_id", simhash64_udf(F.col("text")).alias("sh")
     ).localCheckpoint(eager=True)
     banded = sh.select(

@@ -165,8 +165,12 @@ MEDIA_FROM_PART_SQL = (
 
 def media_from_part(spark, part_df) -> DataFrame:
     """MEDIA_SCHEMA-shaped table from `part` rows (payload = UTF-8 bytes of
-    the shared deterministic string)."""
-    part_df.createOrReplaceTempView("part")
+    the shared deterministic string). The part scan is spread first so the
+    payload build + downstream hashing parallelize past a single-row-group
+    source file."""
+    from ..plans.parallelize import spread
+
+    spread(part_df).createOrReplaceTempView("part")
     return spark.sql(MEDIA_FROM_PART_SQL).select(
         "media_id", "kind",
         F.encode(F.col("payload_str"), "utf-8").alias("payload"),

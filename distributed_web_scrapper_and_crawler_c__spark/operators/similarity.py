@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from ..plans.parallelize import spread
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -51,7 +53,8 @@ def brute_force_topk(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        spread(emb.select("vec_id", "embedding"))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
@@ -158,7 +161,9 @@ def lsh_ann_topk(
     one partition and a query costs ``n_probes`` partition reads."""
     bucket = lsh_bucket_udf(dim, n_planes, seed)
     probe = lsh_probe_buckets_udf(dim, n_planes, seed, n_probes)
-    tagged = emb.withColumn("bucket", bucket(F.col("embedding")))
+    tagged = spread(emb.select("vec_id", "embedding")).withColumn(
+        "bucket", bucket(F.col("embedding"))
+    )
     q = (
         emb.filter(F.col("vec_id") < n_queries)
         .select(
@@ -250,7 +255,9 @@ def ivf_ann_topk(
     )
     cents = ivf_centroids(samp, n_cells, seed=seed)
     cell = ivf_cell_udf(cents)
-    tagged = emb.withColumn("cell", cell(F.col("embedding")))
+    tagged = spread(emb.select("vec_id", "embedding")).withColumn(
+        "cell", cell(F.col("embedding"))
+    )
 
     # query-side probe list: n_probe nearest centroids, computed on the
     # driver for the (small) query set — the same collect the brute-force
@@ -327,10 +334,11 @@ def embedding_cosine_near_dups(emb: DataFrame, threshold: float = 0.95,
     metadata, like ``lsh_ann_topk``'s) to skip the one-row sniff job."""
     if dim is None:
         dim = len(emb.select("embedding").first()[0])
+    corpus = spread(emb.select("vec_id", "embedding"))
     pairs = None
     for s in (seed, seed + 1):
         bucket = lsh_bucket_udf(dim, n_planes, s)
-        tagged = emb.select(
+        tagged = corpus.select(
             "vec_id", "embedding", bucket(F.col("embedding")).alias("bucket")
         )
         l = tagged.select(

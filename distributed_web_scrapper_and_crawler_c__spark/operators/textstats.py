@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from ..plans.parallelize import spread
+
 # token = letter run | digit run | single other non-space (BPE-ish pre-split)
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -35,7 +37,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count per doc."""
     ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))
-    return docs.select(
+    return spread(docs.select("doc_id", "text")).select(
         "doc_id",
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
@@ -70,7 +72,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + F.when(punct_ratio <= 0.1, 0.3).otherwise(0.0)
         + F.least(stop_ratio * 3.0, F.lit(0.3))
     )
-    return docs.select(
+    return spread(docs.select("doc_id", "text")).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_punct.alias("n_punct"),
@@ -110,7 +112,9 @@ def langid(docs: DataFrame) -> DataFrame:
         ).alias(f"s_{lang}")
         for lang, words in _LANG_MARKERS.items()
     }
-    scored = docs.select("doc_id", "lang", *cols.values())
+    scored = spread(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", *cols.values()
+    )
     s = {lang: F.col(f"s_{lang}") for lang in _LANG_MARKERS}
     best = (
         F.when(
@@ -157,44 +161,109 @@ LANGID_SQL = _langid_sql()
 # ---------------------------------------------------------------------------
 
 
+def _seg_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenation of arange(starts[i], starts[i]+counts[i]) — the
+    segmented-arange idiom (one repeat + one arange, no Python loop)."""
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    return np.repeat(starts - cum[:-1], counts) + np.arange(cum[-1])
+
+
+def _winnow_batch(texts, k: int, w: int) -> list:
+    """Winnowing fingerprints for a whole batch in ONE flat numpy pipeline
+    (guide §4.2 — per-doc Python loops with many tiny numpy calls dominate;
+    the math is identical, run over the concatenated byte stream instead).
+
+    The selected hash SET equals the set of per-window minima values: the
+    winnowing rightmost-min tie rule picks a position whose VALUE is the
+    window minimum, and only values survive into the fingerprint set — so
+    a sliding minimum (w shifted np.minimum passes) reproduces the set
+    exactly. Per-window minima are computed over the per-doc concatenated
+    hash array; windows never cross documents because window indices are
+    generated per-document (segmented arange). The final per-doc sort is
+    on SIGNED int64 (the output type), matching sorted(set(int64 casts))."""
+    B = np.uint64(1_000_003)
+    outs: list = [None] * len(texts)
+    enc: list = []
+    keep_idx: list = []
+    for i, t in enumerate(texts):
+        if not t or len(t) < k:  # quirk preserved: gate on CHAR length
+            outs[i] = []
+        else:
+            enc.append(t.lower().encode("utf-8", "replace"))
+            keep_idx.append(i)
+    if not enc:
+        return outs
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    n_pos = int(offs[-1]) - k + 1
+    # polynomial rolling hash at every flat byte position (uint64 wraps)
+    h = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(k):
+        h = h * B + flat[j : j + n_pos]
+    # per-doc valid hash positions (k-grams inside one doc), concatenated
+    n_i = lens - k + 1
+    vstart = np.concatenate(([0], np.cumsum(n_i)))
+    hv = h[_seg_arange(offs[:-1], n_i)]
+    m = len(hv)
+    # sliding minimum over hv (window w); per-doc windows indexed below
+    if m >= w:
+        smin = hv[: m - w + 1].copy()
+        for j in range(1, w):
+            np.minimum(smin, hv[j : j + m - w + 1], out=smin)
+    else:
+        smin = np.empty(0, dtype=np.uint64)
+    # whole-doc minima for the n_i <= w docs (reduceat: n_i >= 1 everywhere)
+    mins = np.minimum.reduceat(hv, vstart[:-1])
+    big = n_i > w
+    wn = np.where(big, n_i - w + 1, 1)  # selected-candidate count per doc
+    cum = np.concatenate(([0], np.cumsum(wn)))
+    sel = np.empty(int(cum[-1]), dtype=np.uint64)
+    small_idx = np.flatnonzero(~big)
+    sel[cum[:-1][small_idx]] = mins[small_idx]
+    big_idx = np.flatnonzero(big)
+    if len(big_idx):
+        sel[_seg_arange(cum[:-1][big_idx], wn[big_idx])] = smin[
+            _seg_arange(vstart[:-1][big_idx], wn[big_idx])
+        ]
+    # drop consecutive duplicate minima first (a window min survives ~w
+    # consecutive windows, so this shrinks the sort input ~w-fold; the
+    # global per-doc dedup below still removes non-adjacent repeats)
+    doc_of = np.repeat(np.arange(len(wn)), wn)
+    pre = np.empty(len(sel), dtype=bool)
+    pre[0] = True
+    np.logical_or(sel[1:] != sel[:-1], doc_of[1:] != doc_of[:-1], out=pre[1:])
+    sel, doc_of = sel[pre], doc_of[pre]
+    # per-doc distinct + ascending SIGNED sort, then split into lists
+    sv = sel.view(np.int64)
+    order = np.lexsort((sv, doc_of))
+    sv, doc_of = sv[order], doc_of[order]
+    keep = np.empty(len(sv), dtype=bool)
+    keep[0] = True
+    np.logical_or(doc_of[1:] != doc_of[:-1], sv[1:] != sv[:-1], out=keep[1:])
+    sv, doc_of = sv[keep], doc_of[keep]
+    counts = np.bincount(doc_of, minlength=len(wn))
+    bounds = np.cumsum(counts)[:-1]
+    for i, part in zip(keep_idx, np.split(sv, bounds)):
+        outs[i] = part.tolist()
+    return outs
+
+
 def winnowing_udf(k: int = 5, w: int = 4):
     """Winnowing (Schleimer et al. 2003): k-gram rolling hashes, per-window
     minimum, keep rightmost minima — the selected hash set fingerprints the
-    document robustly against insertions. Vectorized numpy per document."""
+    document robustly against insertions. Vectorized across the WHOLE Arrow
+    batch (_winnow_batch): one flat rolling-hash pass + one sliding-min pass
+    instead of ~8 numpy calls per document."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def fingerprint(text: pd.Series) -> pd.Series:
-        B = np.int64(1_000_003)
-        out = []
-        for t in text:
-            if not t or len(t) < k:
-                out.append([])
-                continue
-            b = np.frombuffer(t.lower().encode("utf-8", "replace"), dtype=np.uint8)
-            n = len(b) - k + 1
-            # polynomial rolling hash over uint64 (wraparound is the modulus)
-            powers = (np.uint64(B) ** np.arange(k - 1, -1, -1, dtype=np.uint64))
-            idx = np.arange(n)[:, None] + np.arange(k)[None, :]
-            hashes = (b[idx].astype(np.uint64) * powers[None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
-            if n <= w:
-                sel = {int(hashes.min().astype(np.int64))}
-            else:
-                wins = np.lib.stride_tricks.sliding_window_view(hashes, w)
-                # rightmost minimum per window (winnowing tie rule)
-                rev_arg = w - 1 - np.argmin(wins[:, ::-1], axis=1)
-                sel = set(
-                    int(x)
-                    for x in wins[np.arange(len(wins)), rev_arg].astype(np.int64)
-                )
-            out.append(sorted(sel))
-        return pd.Series(out)
+        return pd.Series(_winnow_batch(list(text), k, w))
 
     return fingerprint
 
 
 def fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
-    return docs.select(
+    return spread(docs.select("doc_id", "text")).select(
         "doc_id", winnowing_udf(k, w)(F.col("text")).alias("fingerprint")
     )
