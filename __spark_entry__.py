@@ -454,7 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- content dedup on items (D3/D4, server.cpp:523-581) ----
 
     def dedup_content_book(spark, sf):
-        _ts(spark, sf, "part").createOrReplaceTempView("part")
+        _t(spark, sf, "part").createOrReplaceTempView("part")
         items = spark.sql(ITEMS_CONTENT_SQL)
         return DD.content_dedup(
             items, ["title", "price_value", "rating_value"], "id"
@@ -463,7 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_content_book"] = dedup_content_book
 
     def dedup_content_item(spark, sf):
-        _ts(spark, sf, "part").createOrReplaceTempView("part")
+        _t(spark, sf, "part").createOrReplaceTempView("part")
         items = spark.sql(ITEMS_CONTENT_SQL)
         return DD.content_dedup(
             items, ["item_type", "title", "price_value", "rating_value"], "id"
@@ -474,7 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- aggregations (A1-A6) ----
 
     def item_stats(spark, sf):
-        _ts(spark, sf, "part").createOrReplaceTempView("part")
+        _t(spark, sf, "part").createOrReplaceTempView("part")
         items = spark.sql(ITEMS_LIKE_SQL)
         return AGG.item_stats(items, "item_type", "price_value",
                               "rating_value", "category")
@@ -690,7 +690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- training-data ops: dedup ----
 
     def dedup_exact(spark, sf):
-        docs = _ts(spark, sf, "documents")
+        # plain read: md5+groupBy is cheap enough that a spread shuffle of
+        # the text column costs more than the single-task scan it saves
+        docs = _t(spark, sf, "documents")
         return (
             docs.select("doc_id", F.md5("text").alias("text_md5"))
             .groupBy("text_md5")

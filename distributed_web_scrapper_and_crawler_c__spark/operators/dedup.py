@@ -40,8 +40,7 @@ def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
     Shuffles 16-byte digests, not document bodies — at 100 TB the map-side
     partial aggregation collapses each partition's duplicates first."""
     return (
-        spread(docs.select("doc_id", "text"))
-        .select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+        docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
         .groupBy("text_md5")
         .agg(
             F.count("*").alias("n_docs"),
@@ -188,15 +187,28 @@ MINHASH_SQL = _minhash_sql_inner()
 def _band_pairs(sig: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) with a < b sharing any LSH band, from a
     (pinned) signature frame. Join key is the band value — cost is bounded
-    by bucket sizes, never all-pairs."""
-    pairs = None
-    for b in range(N_BANDS):
-        band = F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("band")
-        left = sig.select(F.col("doc_id").alias("doc_a"), band)
-        right = sig.select(F.col("doc_id").alias("doc_b"), band)
-        p = left.join(right, "band").filter(F.col("doc_a") < F.col("doc_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.select("doc_a", "doc_b").distinct()
+    by bucket sizes, never all-pairs. ONE equi-join on the composite
+    (band_id, band) key over the 4-band explosion replaces the old
+    4-join-per-band union (guide §2.4 — same key, share one exchange):
+    identical pair set, since matching on band b is exactly matching on
+    (band_id=b, value)."""
+    bands = F.posexplode(
+        F.array(
+            *[
+                F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+                for b in range(N_BANDS)
+            ]
+        )
+    )
+    exploded = sig.select("doc_id", bands.alias("band_id", "band"))
+    left = exploded.select(F.col("doc_id").alias("doc_a"), "band_id", "band")
+    right = exploded.select(F.col("doc_id").alias("doc_b"), "band_id", "band")
+    return (
+        left.join(right, ["band_id", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def lsh_candidate_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
@@ -369,15 +381,23 @@ def near_dup_pipeline(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     two intersection joins); values are identical because min() and
     set-intersection are duplicate-insensitive and the same round/filter
     arithmetic runs at the end."""
-    feat = doc_shingle_arrays(docs).localCheckpoint(eager=True)
-    sig = feat.select("doc_id", *_sig_cols()).localCheckpoint(eager=True)
-    cands = _band_pairs(sig)
+    feat = (
+        doc_shingle_arrays(docs)
+        .select("doc_id", "shingles", *_sig_cols())
+        .localCheckpoint(eager=True)
+    )
+    cands = _band_pairs(feat)
     a = feat.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sha"))
     b = feat.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_shb"))
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    # merge hints pin the attach joins to sort-merge on doc_id: the planner
+    # otherwise BROADCASTS the shingle-array side (its estimate passes the
+    # threshold), collecting every array to the driver twice — the exact
+    # "shuffle the proxy, not the payload" inversion guide §8 warns about.
+    # SMJ streams the pinned arrays once per side and scales.
     return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
+        cands.join(a.hint("merge"), "doc_a")
+        .join(b.hint("merge"), "doc_b")
         .select(
             "doc_a", "doc_b",
             F.round(
