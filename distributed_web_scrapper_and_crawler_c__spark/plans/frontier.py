@@ -77,9 +77,41 @@ COMPACT_MAX_PARTS = 32
 # is one sub-second job, and waiting for COMPACT_MAX_PARTS lets tiny-round
 # tails (1-URL pagination chains) grow the union to dozens of leaves
 SMALL_COMPACT_ROWS = 1 << 17
+
+# driver-side EXACT seen/items mirror cap: while the crawl's whole seen-set
+# fits under this, the engine keeps the canonical sets in driver memory
+# (the exact-state twin of the driver-held bloom bitmap — same "driver
+# state is fine until it isn't" gate), so fast rounds answer their
+# membership probes with set lookups instead of a Spark job, and
+# distributed rounds feed the bloom update from one collect of the pinned
+# increment instead of a separate hashing job. Past the cap the mirrors
+# die (None) and every probe goes back to the distributed anti-join —
+# at 10^10 URLs the mirror never survives the first real round, exactly
+# like the fast-round gate itself. ~8 MB of driver strings at the cap.
+MIRROR_MAX_ROWS = 1 << 17
 # ... and small states fold at this (lower) part count, since each union
 # leaf costs ~0.3-0.5s of per-plan overhead in every later probe/anti-join
 SMALL_COMPACT_PARTS = 3
+
+def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """createDataFrame for DRIVER-KNOWN row lists, sliced by SIZE instead
+    of by default parallelism. PySpark's list path parallelizes into
+    ``defaultParallelism`` slices no matter how few rows there are, and
+    every later scan of such a frame runs one Python-conversion task per
+    slice — so each tiny state frame (a fast round's increment, a probe
+    key list, a seed) costs ~32 Python worker round-trips per job that
+    touches it (measured: pinning a 2k-row frame 1.57s at 32 slices vs
+    0.18s at one). Driver-known lists are bounded (fast-round gate /
+    small-state compaction), so one slice per 50k rows keeps big lists
+    parallel while collapsing the common tiny case to a single task."""
+    n_slices = max(1, min(
+        -(-len(rows) // 50_000),
+        spark.sparkContext.defaultParallelism,
+    ))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )
+
 
 FRONTIER_SCHEMA = (
     "seq long, path string, url string, canonical string, host string, "
@@ -187,7 +219,7 @@ class CrawlEngine:
 
         self.frontier: DataFrame | None = None
         self.seen: DataFrame | None = None
-        self.items: DataFrame = spark.createDataFrame([], ITEMS_SCHEMA)
+        self.items: DataFrame = local_df(spark, [], ITEMS_SCHEMA)
         # incremental state: seen/items grow by union of per-round pinned
         # increments (never re-materialized whole — O(rounds) not O(rounds²))
         self._seen_parts: list[DataFrame] = []
@@ -288,6 +320,12 @@ class CrawlEngine:
         # robots rules collected once for fast rounds (they broadcast in
         # the distributed plan anyway — the table is driver-sized)
         self._robots_local: list[tuple] | None = None
+        # exact driver mirrors of the seen canonicals / items canonical_urls
+        # (None = dead; see MIRROR_MAX_ROWS). Primed by seed(), updated by
+        # both round paths, killed when the state outgrows the cap or on
+        # resume (rebuild lazily via _ensure_mirrors when small).
+        self._seen_mirror: set | None = None
+        self._items_mirror: set | None = None
 
     # ------------------------------------------------------------------ state
 
@@ -406,14 +444,15 @@ class CrawlEngine:
                 (i, p, url, K.canonicalize_url(url), K.url_host(url), -1, i,
                  0, 0)
             )
-        front = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        front = local_df(self.spark, rows, FRONTIER_SCHEMA)
         if self.priority_expr is not None:
             front = front.withColumn(
                 "priority", self.priority_expr.cast("int")
             )
         self.frontier = self._pin(front)
         seed_seen = self._pin(
-            self.spark.createDataFrame(
+            local_df(
+                self.spark,
                 [(c, s, 0) for (s, _p, _u, c, *_rest) in rows],
                 SEEN_SCHEMA,
             ).dropDuplicates(["canonical"])
@@ -427,6 +466,8 @@ class CrawlEngine:
         self._frontier_local = (
             None if self.priority_expr is not None else list(rows)
         )
+        self._seen_mirror = {c for (_s, _p, _u, c, *_rest) in rows}
+        self._items_mirror = set()
         self.next_seq = len(rows)
         self.seen_count = seed_seen.count()
         self._write_checkpoint()
@@ -458,6 +499,8 @@ class CrawlEngine:
             self._seen_parts = [compacted]
             self._seen_compacted = True
             self.seen_count -= n_removed
+            if self._seen_mirror is not None:
+                self._seen_mirror.discard(canon)
             # seen_filter="cuckoo" deletes the fingerprint too, keeping the
             # filter tight across requeues; a bloom bitmap cannot un-set
             # bits — the exact anti-join decides membership either way, so
@@ -469,7 +512,7 @@ class CrawlEngine:
         p = path if path.startswith("/") else "/" + path
         row = [(self.next_seq, p, url, canon, K.url_host(url), -1, 0,
                 self.round_num, 0)]
-        new_front = self.spark.createDataFrame(row, FRONTIER_SCHEMA)
+        new_front = local_df(self.spark, row, FRONTIER_SCHEMA)
         if self.priority_expr is not None:
             new_front = new_front.withColumn(
                 "priority", self.priority_expr.cast("int")
@@ -482,13 +525,16 @@ class CrawlEngine:
         else:
             self._frontier_local = None
         new_seen = self._pin(
-            self.spark.createDataFrame(
-                [(canon, self.next_seq, self.round_num)], SEEN_SCHEMA
+            local_df(
+                self.spark, [(canon, self.next_seq, self.round_num)],
+                SEEN_SCHEMA,
             )
         )
         self._seen_parts.append(new_seen)
         self.seen = self.seen.unionByName(new_seen)
         self.seen_count += 1
+        if self._seen_mirror is not None:
+            self._seen_mirror.add(canon)
         if self.use_bloom and (
             self._bloom_bm is not None or self._bloom_shards is not None
         ):
@@ -689,6 +735,31 @@ class CrawlEngine:
             self._bloom_bm, bits >> 3, (1 << (bits & 7)).astype(np.uint8)
         )
 
+    def _ensure_mirrors(self) -> bool:
+        """(Re)build the exact driver mirrors when the state is small
+        enough (one tagged-union collect over the pinned state tables);
+        returns True when the mirrors are live. A dead mirror above
+        MIRROR_MAX_ROWS stays dead — the distributed probe path owns that
+        regime."""
+        if self._seen_mirror is not None and self._items_mirror is not None:
+            return True
+        if self.seen_count + self.items_count > MIRROR_MAX_ROWS:
+            return False
+        rows = (
+            self.seen.select(
+                F.col("canonical").alias("k"), F.lit("s").alias("src")
+            )
+            .unionByName(
+                self.items.select(
+                    F.col("canonical_url").alias("k"), F.lit("i").alias("src")
+                )
+            )
+            .collect()
+        )
+        self._seen_mirror = {r["k"] for r in rows if r["src"] == "s"}
+        self._items_mirror = {r["k"] for r in rows if r["src"] == "i"}
+        return True
+
     def _membership_probe(
         self, seen_keys: list[str], item_keys: list[str]
     ) -> tuple[set, set]:
@@ -699,16 +770,16 @@ class CrawlEngine:
         same scan shape as the distributed anti-joins, no shuffle)."""
         parts = []
         if seen_keys:
-            kdf = self.spark.createDataFrame(
-                [(k,) for k in seen_keys], "canonical string"
+            kdf = local_df(
+                self.spark, [(k,) for k in seen_keys], "canonical string"
             )
             parts.append(
                 self.seen.join(F.broadcast(kdf), "canonical", "leftsemi")
                 .select(F.col("canonical").alias("k"), F.lit("s").alias("src"))
             )
         if item_keys:
-            kdf = self.spark.createDataFrame(
-                [(k,) for k in item_keys], "canonical_url string"
+            kdf = local_df(
+                self.spark, [(k,) for k in item_keys], "canonical_url string"
             )
             parts.append(
                 self.items.join(F.broadcast(kdf), "canonical_url", "leftsemi")
@@ -787,10 +858,10 @@ class CrawlEngine:
             # idle round: every queued host inside its revisit window —
             # empty increments, clock advances (run_round's idle branch)
             self._seen_parts.append(
-                self.spark.createDataFrame([], SEEN_SCHEMA)
+                local_df(self.spark, [], SEEN_SCHEMA)
             )
             self._item_parts.append(
-                self.spark.createDataFrame([], ITEMS_SCHEMA)
+                local_df(self.spark, [], ITEMS_SCHEMA)
             )
             mark("dequeue_fetch")
             self.metrics.append(
@@ -956,11 +1027,19 @@ class CrawlEngine:
             maybe_canons = {c[4] for c in cand_rows}
         dmark("f.parse_py")
 
-        # --- job 2: ONE exact membership probe for both flows -----------
-        found_seen, found_items = self._membership_probe(
-            sorted(maybe_canons),
-            sorted({w[6] for w in book_winners}),
-        )
+        # --- exact membership for both flows: set lookups against the
+        # driver mirrors when live (zero jobs — the common fast-round
+        # case), else ONE combined probe job ----------------------------
+        book_canons = sorted({w[6] for w in book_winners})
+        if self._ensure_mirrors():
+            found_seen = {c for c in maybe_canons if c in self._seen_mirror}
+            found_items = {
+                c for c in book_canons if c in self._items_mirror
+            }
+        else:
+            found_seen, found_items = self._membership_probe(
+                sorted(maybe_canons), book_canons
+            )
         dmark("f.probe_job")
 
         # --- items: drop already-known canonicals, stamp item_seq -------
@@ -984,10 +1063,12 @@ class CrawlEngine:
                 )
             )
         new_item_count = len(item_rows)
-        new_items = self.spark.createDataFrame(item_rows, ITEMS_SCHEMA)
+        new_items = local_df(self.spark, item_rows, ITEMS_SCHEMA)
         self._item_parts.append(new_items)
         self.items = self.items.unionByName(new_items)
         self.items_count += new_item_count
+        if self._items_mirror is not None:
+            self._items_mirror.update(r[4] for r in item_rows)
         mark("parse_books")
 
         # --- links: first-wins per canonical, drop seen, stamp seq ------
@@ -1017,13 +1098,15 @@ class CrawlEngine:
                 r for r in rows if r[0] not in popped_seqs
             ] + new_frontier_rows
         self._frontier_local = mirror
-        self.frontier = self.spark.createDataFrame(mirror, FRONTIER_SCHEMA)
+        self.frontier = local_df(self.spark, mirror, FRONTIER_SCHEMA)
         self.frontier_size = len(mirror)
 
-        new_seen = self.spark.createDataFrame(new_seen_rows, SEEN_SCHEMA)
+        new_seen = local_df(self.spark, new_seen_rows, SEEN_SCHEMA)
         self._seen_parts.append(new_seen)
         self.seen = self.seen.unionByName(new_seen)
         self.seen_count += n_new
+        if self._seen_mirror is not None:
+            self._seen_mirror.update(c for (c, _s, _r) in new_seen_rows)
         if self.use_bloom and n_new:
             self._bloom_add_local([c for (c, _s, _r) in new_seen_rows])
         mark("state_update")
@@ -1112,7 +1195,7 @@ class CrawlEngine:
         if deferred:
             base = base.join(
                 F.broadcast(
-                    self.spark.createDataFrame(deferred, "host string")
+                    local_df(self.spark, deferred, "host string")
                 ),
                 "host",
                 "left_anti",
@@ -1142,10 +1225,10 @@ class CrawlEngine:
             # writes _parts[-1], and re-writing the previous round's
             # increment would double it on resume's union.
             self._seen_parts.append(
-                self.spark.createDataFrame([], SEEN_SCHEMA)
+                local_df(self.spark, [], SEEN_SCHEMA)
             )
             self._item_parts.append(
-                self.spark.createDataFrame([], ITEMS_SCHEMA)
+                local_df(self.spark, [], ITEMS_SCHEMA)
             )
             mark("dequeue_fetch")
             self.metrics.append(
@@ -1323,28 +1406,40 @@ class CrawlEngine:
             # rows — no column pruning of the links arrays), so the two
             # jobs this skips each re-read the round's entire parse output
             # to produce zero rows.
-            new_items = self.spark.createDataFrame([], ITEMS_SCHEMA)
+            new_items = local_df(self.spark, [], ITEMS_SCHEMA)
             new_item_count = 0
         elif n_books_upper < seq_mod.SMALL_SEQ_ROWS:
-            # small rounds: seen anti-join + first-wins window + one-shuffle
-            # window seq, pinned once
-            wb = Window.partitionBy("canonical_url").orderBy(
-                "parent_seq", "book_rank"
-            )
-            fresh = _dedup_select(
-                pods.join(book_seen, "canonical_url", "left_anti")
-                .withColumn("_rn", F.row_number().over(wb))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-            new_items = self._pin(
-                with_global_seq(
-                    fresh, ["parent_seq", "book_rank"], start=self.items_count,
-                    seq_col="item_seq", num_partitions=self.n_part,
-                    approx_rows=n_books_upper,
-                ).select(*item_cols)
-            )
-            new_item_count = new_items.count()  # cheap: reads pinned blocks
+            # zero-survivor probe first (limit-1 anti-join): a relisting
+            # round — every pod canonical already in items, the common
+            # shape after the first listing pass — would otherwise pay the
+            # full anti-join+window+seq PIN to produce zero rows
+            # (~1s/round on the bench drain); when survivors exist the
+            # probe re-reads only the pinned parse, so it costs one short
+            # job, not a recompute
+            if pods.join(book_seen, "canonical_url", "left_anti").isEmpty():
+                new_items = local_df(self.spark, [], ITEMS_SCHEMA)
+                new_item_count = 0
+            else:
+                # small rounds: seen anti-join + first-wins window +
+                # one-shuffle window seq, pinned once
+                wb = Window.partitionBy("canonical_url").orderBy(
+                    "parent_seq", "book_rank"
+                )
+                fresh = _dedup_select(
+                    pods.join(book_seen, "canonical_url", "left_anti")
+                    .withColumn("_rn", F.row_number().over(wb))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+                new_items = self._pin(
+                    with_global_seq(
+                        fresh, ["parent_seq", "book_rank"],
+                        start=self.items_count,
+                        seq_col="item_seq", num_partitions=self.n_part,
+                        approx_rows=n_books_upper,
+                    ).select(*item_cols)
+                )
+                new_item_count = new_items.count()  # reads pinned blocks
         else:
             # big rounds: ONE wide shuffle, ONE wide pin. The old plan
             # shuffled the wide pod rows twice (canonical-hash for the seen
@@ -1423,7 +1518,7 @@ class CrawlEngine:
                 # it. This is the dominant books cost of the scale job's
                 # second round.
                 wide_kept = None
-                new_items = self.spark.createDataFrame([], ITEMS_SCHEMA)
+                new_items = local_df(self.spark, [], ITEMS_SCHEMA)
             elif n_trouble == 0:
                 # common crawl round: every pod is a fresh, unique canonical
                 # — no kill join at all
@@ -1679,8 +1774,50 @@ class CrawlEngine:
         self._seen_parts.append(new_seen)
         self.seen = self.seen.unionByName(new_seen)  # lazy over pinned parts
         self.seen_count += n_new
-        if self.use_bloom and n_new:
-            self._bloom_add(new_seen, "canonical", n_new)
+        mirrors_live = (
+            self._seen_mirror is not None
+            and self._items_mirror is not None
+            and self.seen_count + self.items_count <= MIRROR_MAX_ROWS
+        )
+        if mirrors_live:
+            # ONE tagged collect over the already-pinned increments feeds
+            # the exact driver mirrors AND the local bloom update — the
+            # old _bloom_add hashing job over the same rows disappears
+            parts = []
+            if n_new:
+                parts.append(
+                    new_seen.select(
+                        F.col("canonical").alias("k"), F.lit("s").alias("src")
+                    )
+                )
+            if new_item_count:
+                parts.append(
+                    new_items.select(
+                        F.col("canonical_url").alias("k"),
+                        F.lit("i").alias("src"),
+                    )
+                )
+            new_canons: list = []
+            if parts:
+                u = parts[0]
+                for p in parts[1:]:
+                    u = u.unionByName(p)
+                rows = u.collect()
+                new_canons = [r["k"] for r in rows if r["src"] == "s"]
+                self._seen_mirror.update(new_canons)
+                self._items_mirror.update(
+                    r["k"] for r in rows if r["src"] == "i"
+                )
+            if self.use_bloom and n_new:
+                if self._bloom_shards is None:
+                    self._bloom_add_local(new_canons)
+                else:
+                    self._bloom_add(new_seen, "canonical", n_new)
+        else:
+            self._seen_mirror = None
+            self._items_mirror = None
+            if self.use_bloom and n_new:
+                self._bloom_add(new_seen, "canonical", n_new)
         mark("state_update")
 
         self.metrics.append(
@@ -1899,8 +2036,8 @@ class CrawlEngine:
             for m in self.metrics
             for pid, cnt in (m.partition_fetch_counts or {0: 0}).items()
         ]
-        return self.spark.createDataFrame(
-            rows,
+        return local_df(
+            self.spark, rows,
             "round int, partition_id int, partition_urls_fetched long, "
             "urls_dequeued long, urls_fetched long, fetch_misses long, "
             "books_found long, links_extracted long, links_new long, "
@@ -1912,7 +2049,8 @@ class CrawlEngine:
         """S6 — the reference's ``GET /api/status`` shape (server.cpp:
         1300-1313): one row of live crawl state. All values are O(1)
         driver-held counters — no job runs."""
-        return self.spark.createDataFrame(
+        return local_df(
+            self.spark,
             [(
                 self.frontier_size, self.seen_count, self.items_count,
                 self.pages_crawled, self.round_num, bool(self.stopped),
