@@ -514,12 +514,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q1_pricing_summary"] = q1_pricing_summary
 
     def q3_top_orders(spark, sf):
+        # join order reassociated (identical inner-equi-join result): attach
+        # the BUILDING customers to orders first, then broadcast that
+        # pre-filtered order set to the lineitem scan — lineitem (the big
+        # side) is never shuffled, and the partial aggregation runs map-side
+        # before the only exchange (guide §3.1/§2.3). The broadcast side is
+        # the segment's orders (~1/5 of orders, projected to 4 columns).
         c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
         o = _t(spark, sf, "orders")
         li = _t(spark, sf, "lineitem")
+        oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
         return (
-            li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            li.select("l_orderkey", "l_extendedprice", "l_discount")
+            .join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
             .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
             .agg(
                 F.round(
@@ -551,17 +560,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- dedup / set ops (D1-D4, §2.8) ----
 
     def dedup_first_wins(spark, sf):
-        from pyspark.sql import Window
-
+        # min-struct aggregation instead of a per-key row_number window:
+        # the struct min orders by (o_orderdate, o_orderkey) — exactly the
+        # window's ORDER BY — so the kept row is identical, but the
+        # map-side partial aggregation collapses each partition's rows
+        # before the exchange (guide §2.3 "aggregate before you shuffle")
+        # and no sort runs at all.
         o = _t(spark, sf, "orders")
-        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         return (
-            o.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            o.groupBy("o_custkey")
+            .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("_w"))
             .select(
                 F.col("o_custkey").alias("custkey"),
-                F.col("o_orderkey").alias("first_orderkey"),
-                F.col("o_orderdate").alias("first_orderdate"),
+                F.col("_w.o_orderkey").alias("first_orderkey"),
+                F.col("_w.o_orderdate").alias("first_orderdate"),
             )
         )
 
