@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -1397,188 +1398,195 @@ class CrawlEngine:
         # module attribute, not an import-by-value: plan gates must track
         # runtime overrides of seq.SMALL_SEQ_ROWS exactly like seq.py's own
         # gates do (tests monkeypatch it to force the scale path)
-        if n_books_upper == 0:
-            # bookless round (every fetched page failed the parse gate —
-            # the common case for detail-page rounds): the stats agg above
-            # already proved the explode is empty, so skip the whole books
-            # flow. Worth real time, not just jobs: every books job scans
-            # the FULL pinned parse (a LogicalRDD leaf deserializes whole
-            # rows — no column pruning of the links arrays), so the two
-            # jobs this skips each re-read the round's entire parse output
-            # to produce zero rows.
-            new_items = local_df(self.spark, [], ITEMS_SCHEMA)
-            new_item_count = 0
-        elif n_books_upper < seq_mod.SMALL_SEQ_ROWS:
-            # zero-survivor probe first (limit-1 anti-join): a relisting
-            # round — every pod canonical already in items, the common
-            # shape after the first listing pass — would otherwise pay the
-            # full anti-join+window+seq PIN to produce zero rows
-            # (~1s/round on the bench drain); when survivors exist the
-            # probe re-reads only the pinned parse, so it costs one short
-            # job, not a recompute
-            if pods.join(book_seen, "canonical_url", "left_anti").isEmpty():
+        # The books computation below runs on a WORKER THREAD,
+        # concurrent with the links flow (guide 2.6 overlap: both
+        # depend only on the pinned parse and read-only engine state,
+        # so the scheduler back-fills one flow's task tails with the
+        # other's jobs). All state mutation (items append, counters)
+        # stays on the MAIN thread after .result(), so per-round
+        # ordering and determinism are unchanged.
+        def _books_flow():
+            if n_books_upper == 0:
+                # bookless round (every fetched page failed the parse gate —
+                # the common case for detail-page rounds): the stats agg above
+                # already proved the explode is empty, so skip the whole books
+                # flow. Worth real time, not just jobs: every books job scans
+                # the FULL pinned parse (a LogicalRDD leaf deserializes whole
+                # rows — no column pruning of the links arrays), so the two
+                # jobs this skips each re-read the round's entire parse output
+                # to produce zero rows.
                 new_items = local_df(self.spark, [], ITEMS_SCHEMA)
                 new_item_count = 0
-            else:
-                # small rounds: seen anti-join + first-wins window +
-                # one-shuffle window seq, pinned once
-                wb = Window.partitionBy("canonical_url").orderBy(
-                    "parent_seq", "book_rank"
-                )
-                fresh = _dedup_select(
-                    pods.join(book_seen, "canonical_url", "left_anti")
-                    .withColumn("_rn", F.row_number().over(wb))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn")
-                )
-                new_items = self._pin(
-                    with_global_seq(
-                        fresh, ["parent_seq", "book_rank"],
-                        start=self.items_count,
-                        seq_col="item_seq", num_partitions=self.n_part,
-                        approx_rows=n_books_upper,
-                    ).select(*item_cols)
-                )
-                new_item_count = new_items.count()  # reads pinned blocks
-        else:
-            # big rounds: ONE wide shuffle, ONE wide pin. The old plan
-            # shuffled the wide pod rows twice (canonical-hash for the seen
-            # anti-join + first-wins window, then bucket-hash for the seq)
-            # and pinned twice (the bucketed seq's internal offsets pin plus
-            # the stamped output). Instead a NARROW side-channel — a
-            # 3-column projection of the same pinned parse (Catalyst prunes
-            # the pod struct down to canonical_url/parent_seq/book_rank) —
-            # computes in one map-side-combined aggregation: (a) per-bucket
-            # SURVIVOR counts, which feed the seq stamp's offsets so the
-            # wide rows shuffle once, straight into the final pin, with no
-            # internal pin and no counts job; (b) the "trouble" canonicals
-            # (seen before, or duplicated this round), whose loser rows are
-            # anti-joined away via a broadcast kill list. The seen anti-join
-            # thus probes with ~90B/row keys instead of full pod rows — at
-            # steady state `seen` is the crawl's whole history, so the probe
-            # side's width is the term that matters. Dedup semantics are
-            # byte-identical (goldens + equivalence tests): survivor = row
-            # whose canonical is unseen AND equals min(parent_seq,book_rank)
-            # within its canonical group.
-            bucket = range_bucket_expr(
-                "parent_seq", seq_lo, seq_hi, 8 * self.n_part
-            )
-            narrow = pods.select("canonical_url", "parent_seq", "book_rank")
-            percanon = narrow.groupBy("canonical_url").agg(
-                F.min(F.struct("parent_seq", "book_rank")).alias("_w"),
-                F.count("*").alias("_cnt"),
-            )
-            pc = percanon.join(
-                book_seen.withColumn("_seen", F.lit(1)),
-                "canonical_url",
-                "left",
-            )
-            wbucket = range_bucket_expr(
-                "_w.parent_seq", seq_lo, seq_hi, 8 * self.n_part
-            )
-            bstats = (
-                pc.groupBy(wbucket.cast("int").alias("_bkt"))
-                .agg(
-                    F.sum(
-                        F.when(F.col("_seen").isNull(), 1).otherwise(0)
-                    ).alias("surv"),
-                    F.sum(
-                        F.when(
-                            (F.col("_cnt") > 1) | F.col("_seen").isNotNull(),
-                            1,
-                        ).otherwise(0)
-                    ).alias("trouble"),
-                    # exact kill-list cardinality: every row of a trouble
-                    # canonical dies except the winner of an unseen one —
-                    # the guard must bound what actually BROADCASTS (loser
-                    # rows), not the canonical count, or a heavy-dup round
-                    # (few canonicals, many rows each) slips past it
-                    F.sum(
-                        F.when(F.col("_seen").isNotNull(), F.col("_cnt"))
-                        .when(F.col("_cnt") > 1, F.col("_cnt") - 1)
-                        .otherwise(0)
-                    ).alias("kill_rows"),
-                )
-                .collect()
-            )
-            dmark("b.narrow_stats")
-            bucket_counts = {
-                r["_bkt"]: r["surv"] for r in bstats if r["surv"] > 0
-            }
-            n_trouble = sum(r["trouble"] for r in bstats)
-            n_kill = sum(r["kill_rows"] for r in bstats)
-            new_item_count = sum(bucket_counts.values())
-            if new_item_count == 0:
-                # pure re-listing round (every pod canonical already in
-                # items — e.g. category pages re-listing books found on
-                # listing pages): zero survivors is already decided by the
-                # narrow side-channel, so the whole wide flow — kill-list
-                # join, seq stamp, final pin, or the two-shuffle fallback
-                # a huge kill list would force — produces zero rows. Skip
-                # it. This is the dominant books cost of the scale job's
-                # second round.
-                wide_kept = None
-                new_items = local_df(self.spark, [], ITEMS_SCHEMA)
-            elif n_trouble == 0:
-                # common crawl round: every pod is a fresh, unique canonical
-                # — no kill join at all
-                wide_kept = pods
-            elif max(n_trouble, n_kill) <= TROUBLE_BROADCAST_MAX:
-                trouble_canons = pc.filter(
-                    (F.col("_cnt") > 1) | F.col("_seen").isNotNull()
-                ).select("canonical_url", "_w", "_seen")
-                kill = (
-                    narrow.join(
-                        F.broadcast(trouble_canons), "canonical_url", "inner"
+            elif n_books_upper < seq_mod.SMALL_SEQ_ROWS:
+                # zero-survivor probe first (limit-1 anti-join): a relisting
+                # round — every pod canonical already in items, the common
+                # shape after the first listing pass — would otherwise pay the
+                # full anti-join+window+seq PIN to produce zero rows
+                # (~1s/round on the bench drain); when survivors exist the
+                # probe re-reads only the pinned parse, so it costs one short
+                # job, not a recompute
+                if pods.join(book_seen, "canonical_url", "left_anti").isEmpty():
+                    new_items = local_df(self.spark, [], ITEMS_SCHEMA)
+                    new_item_count = 0
+                else:
+                    # small rounds: seen anti-join + first-wins window +
+                    # one-shuffle window seq, pinned once
+                    wb = Window.partitionBy("canonical_url").orderBy(
+                        "parent_seq", "book_rank"
                     )
-                    .filter(
-                        F.col("_seen").isNotNull()
-                        | (
-                            F.struct("parent_seq", "book_rank")
-                            != F.col("_w")
+                    fresh = _dedup_select(
+                        pods.join(book_seen, "canonical_url", "left_anti")
+                        .withColumn("_rn", F.row_number().over(wb))
+                        .filter(F.col("_rn") == 1)
+                        .drop("_rn")
+                    )
+                    new_items = self._pin(
+                        with_global_seq(
+                            fresh, ["parent_seq", "book_rank"],
+                            start=self.items_count,
+                            seq_col="item_seq", num_partitions=self.n_part,
+                            approx_rows=n_books_upper,
+                        ).select(*item_cols)
+                    )
+                    new_item_count = new_items.count()  # reads pinned blocks
+            else:
+                # big rounds: ONE wide shuffle, ONE wide pin. The old plan
+                # shuffled the wide pod rows twice (canonical-hash for the seen
+                # anti-join + first-wins window, then bucket-hash for the seq)
+                # and pinned twice (the bucketed seq's internal offsets pin plus
+                # the stamped output). Instead a NARROW side-channel — a
+                # 3-column projection of the same pinned parse (Catalyst prunes
+                # the pod struct down to canonical_url/parent_seq/book_rank) —
+                # computes in one map-side-combined aggregation: (a) per-bucket
+                # SURVIVOR counts, which feed the seq stamp's offsets so the
+                # wide rows shuffle once, straight into the final pin, with no
+                # internal pin and no counts job; (b) the "trouble" canonicals
+                # (seen before, or duplicated this round), whose loser rows are
+                # anti-joined away via a broadcast kill list. The seen anti-join
+                # thus probes with ~90B/row keys instead of full pod rows — at
+                # steady state `seen` is the crawl's whole history, so the probe
+                # side's width is the term that matters. Dedup semantics are
+                # byte-identical (goldens + equivalence tests): survivor = row
+                # whose canonical is unseen AND equals min(parent_seq,book_rank)
+                # within its canonical group.
+                bucket = range_bucket_expr(
+                    "parent_seq", seq_lo, seq_hi, 8 * self.n_part
+                )
+                narrow = pods.select("canonical_url", "parent_seq", "book_rank")
+                percanon = narrow.groupBy("canonical_url").agg(
+                    F.min(F.struct("parent_seq", "book_rank")).alias("_w"),
+                    F.count("*").alias("_cnt"),
+                )
+                pc = percanon.join(
+                    book_seen.withColumn("_seen", F.lit(1)),
+                    "canonical_url",
+                    "left",
+                )
+                wbucket = range_bucket_expr(
+                    "_w.parent_seq", seq_lo, seq_hi, 8 * self.n_part
+                )
+                bstats = (
+                    pc.groupBy(wbucket.cast("int").alias("_bkt"))
+                    .agg(
+                        F.sum(
+                            F.when(F.col("_seen").isNull(), 1).otherwise(0)
+                        ).alias("surv"),
+                        F.sum(
+                            F.when(
+                                (F.col("_cnt") > 1) | F.col("_seen").isNotNull(),
+                                1,
+                            ).otherwise(0)
+                        ).alias("trouble"),
+                        # exact kill-list cardinality: every row of a trouble
+                        # canonical dies except the winner of an unseen one —
+                        # the guard must bound what actually BROADCASTS (loser
+                        # rows), not the canonical count, or a heavy-dup round
+                        # (few canonicals, many rows each) slips past it
+                        F.sum(
+                            F.when(F.col("_seen").isNotNull(), F.col("_cnt"))
+                            .when(F.col("_cnt") > 1, F.col("_cnt") - 1)
+                            .otherwise(0)
+                        ).alias("kill_rows"),
+                    )
+                    .collect()
+                )
+                dmark("b.narrow_stats")
+                bucket_counts = {
+                    r["_bkt"]: r["surv"] for r in bstats if r["surv"] > 0
+                }
+                n_trouble = sum(r["trouble"] for r in bstats)
+                n_kill = sum(r["kill_rows"] for r in bstats)
+                new_item_count = sum(bucket_counts.values())
+                if new_item_count == 0:
+                    # pure re-listing round (every pod canonical already in
+                    # items — e.g. category pages re-listing books found on
+                    # listing pages): zero survivors is already decided by the
+                    # narrow side-channel, so the whole wide flow — kill-list
+                    # join, seq stamp, final pin, or the two-shuffle fallback
+                    # a huge kill list would force — produces zero rows. Skip
+                    # it. This is the dominant books cost of the scale job's
+                    # second round.
+                    wide_kept = None
+                    new_items = local_df(self.spark, [], ITEMS_SCHEMA)
+                elif n_trouble == 0:
+                    # common crawl round: every pod is a fresh, unique canonical
+                    # — no kill join at all
+                    wide_kept = pods
+                elif max(n_trouble, n_kill) <= TROUBLE_BROADCAST_MAX:
+                    trouble_canons = pc.filter(
+                        (F.col("_cnt") > 1) | F.col("_seen").isNotNull()
+                    ).select("canonical_url", "_w", "_seen")
+                    kill = (
+                        narrow.join(
+                            F.broadcast(trouble_canons), "canonical_url", "inner"
                         )
+                        .filter(
+                            F.col("_seen").isNotNull()
+                            | (
+                                F.struct("parent_seq", "book_rank")
+                                != F.col("_w")
+                            )
+                        )
+                        .select("parent_seq", "book_rank")
                     )
-                    .select("parent_seq", "book_rank")
-                )
-                wide_kept = pods.join(
-                    F.broadcast(kill), ["parent_seq", "book_rank"],
-                    "left_anti",
-                )
-            else:
-                # adversarial duplication/revisit volume: the kill list
-                # would not broadcast — fall back to the two-shuffle plan
-                # (wide canonical-hash anti-join + window, bucketed seq with
-                # its internal pin); values identical either way
-                wb = Window.partitionBy("canonical_url").orderBy(
-                    "parent_seq", "book_rank"
-                )
-                fresh = _dedup_select(
-                    pods.join(book_seen, "canonical_url", "left_anti")
-                    .withColumn("_rn", F.row_number().over(wb))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn")
-                )
-                stamped, new_item_count = with_global_seq_bucketed(
-                    fresh, ["parent_seq", "book_rank"],
-                    bucket, n_buckets=8 * self.n_part,
-                    n_partitions=self.n_part,
-                    start=self.items_count, seq_col="item_seq",
-                )
-                wide_kept = None
-                new_items = self._pin(stamped.select(*item_cols))
-            if wide_kept is not None:
-                stamped = with_global_seq_known_counts(
-                    _dedup_select(wide_kept), ["parent_seq", "book_rank"],
-                    bucket, bucket_counts, start=self.items_count,
-                    seq_col="item_seq", n_partitions=self.n_part,
-                )
-                new_items = self._pin(stamped.select(*item_cols))
-            dmark("b.final_pin")
-        dmark("b.seq_pin")
-        self._item_parts.append(new_items)
-        self.items = self.items.unionByName(new_items)  # lazy over pinned parts
-        self.items_count += new_item_count
-        mark("parse_books")
+                    wide_kept = pods.join(
+                        F.broadcast(kill), ["parent_seq", "book_rank"],
+                        "left_anti",
+                    )
+                else:
+                    # adversarial duplication/revisit volume: the kill list
+                    # would not broadcast — fall back to the two-shuffle plan
+                    # (wide canonical-hash anti-join + window, bucketed seq with
+                    # its internal pin); values identical either way
+                    wb = Window.partitionBy("canonical_url").orderBy(
+                        "parent_seq", "book_rank"
+                    )
+                    fresh = _dedup_select(
+                        pods.join(book_seen, "canonical_url", "left_anti")
+                        .withColumn("_rn", F.row_number().over(wb))
+                        .filter(F.col("_rn") == 1)
+                        .drop("_rn")
+                    )
+                    stamped, new_item_count = with_global_seq_bucketed(
+                        fresh, ["parent_seq", "book_rank"],
+                        bucket, n_buckets=8 * self.n_part,
+                        n_partitions=self.n_part,
+                        start=self.items_count, seq_col="item_seq",
+                    )
+                    wide_kept = None
+                    new_items = self._pin(stamped.select(*item_cols))
+                if wide_kept is not None:
+                    stamped = with_global_seq_known_counts(
+                        _dedup_select(wide_kept), ["parent_seq", "book_rank"],
+                        bucket, bucket_counts, start=self.items_count,
+                        seq_col="item_seq", n_partitions=self.n_part,
+                    )
+                    new_items = self._pin(stamped.select(*item_cols))
+                dmark("b.final_pin")
+            return new_items, new_item_count
+
+        _books_pool = ThreadPoolExecutor(max_workers=1)
+        books_fut = _books_pool.submit(_books_flow)
 
         # --- links: scope-filter + enqueue-dedup (explode of pinned parse).
         # The in-scope filter runs INSIDE the link array (order-preserving,
@@ -1756,6 +1764,15 @@ class CrawlEngine:
         dmark("s.seq_pin")
         self.next_seq += n_new
         mark("dedup_seq")
+
+        # join the concurrent books flow; mutate items state on the
+        # main thread (same effect/order as the old serial code)
+        new_items, new_item_count = books_fut.result()
+        _books_pool.shutdown()
+        self._item_parts.append(new_items)
+        self.items = self.items.unionByName(new_items)  # lazy over pinned parts
+        self.items_count += new_item_count
+        mark("parse_books")
 
         if n_popped == self.frontier_size:
             # whole frontier drained — no leftover to carry
