@@ -750,9 +750,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = ann_cosine_topk
 
     def ann_lsh_topk(spark, sf):
-        emb = _t(spark, sf, "embeddings")
-        dim = len(emb.select("embedding").first()[0])
-        return SIM.lsh_ann_topk(emb, dim, n_queries=5, k=10)
+        # dim=None: the hyperplanes derive deterministically from the first
+        # Arrow batch inside the UDFs — no one-row dimension-sniff job
+        return SIM.lsh_ann_topk(
+            _t(spark, sf, "embeddings"), None, n_queries=5, k=10
+        )
 
     q["ann_lsh_topk"] = ann_lsh_topk
 

@@ -102,37 +102,46 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def lsh_bucket_udf(dim: int, n_planes: int = 8, seed: int = 42):
-    planes = _hyperplanes(dim, n_planes, seed)
+def lsh_bucket_udf(dim: int | None, n_planes: int = 8, seed: int = 42):
+    """``dim=None`` derives the plane matrix lazily from the first batch's
+    vector length — _hyperplanes is a pure function of (dim, n_planes,
+    seed), so every task materializes the identical matrix and the caller
+    saves the one-row dimension-sniff job."""
+    state = {"planes": _hyperplanes(dim, n_planes, seed) if dim else None}
 
     @F.pandas_udf(LongType())
     def bucket(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype="int64")
         m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-        signs = (m @ planes.T) > 0
+        if state["planes"] is None:
+            state["planes"] = _hyperplanes(m.shape[1], n_planes, seed)
+        signs = (m @ state["planes"].T) > 0
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series((signs @ weights).astype(np.int64))
 
     return bucket
 
 
-def lsh_probe_buckets_udf(dim: int, n_planes: int = 8, seed: int = 42,
+def lsh_probe_buckets_udf(dim: int | None, n_planes: int = 8, seed: int = 42,
                           n_probes: int = 4):
     """Multi-probe bucket list for the QUERY side: the query's own bucket
     plus the buckets reached by flipping the sign of the ``n_probes - 1``
     hyperplanes with the smallest |margin| (the planes the vector most
     nearly straddles — the standard multi-probe LSH heuristic). A true
     neighbor that landed just across one of those planes is recovered
-    without growing the corpus-side index at all."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    without growing the corpus-side index at all. ``dim=None`` derives the
+    planes from the first batch (see lsh_bucket_udf)."""
+    state = {"planes": _hyperplanes(dim, n_planes, seed) if dim else None}
 
     @F.pandas_udf(ArrayType(LongType()))
     def probes(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=object)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-        proj = m @ planes.T
+        if state["planes"] is None:
+            state["planes"] = _hyperplanes(m.shape[1], n_planes, seed)
+        proj = m @ state["planes"].T
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         base = ((proj > 0) @ weights).astype(np.int64)
         # per-row planes sorted by |margin| ascending = flip order
@@ -149,7 +158,7 @@ def lsh_probe_buckets_udf(dim: int, n_planes: int = 8, seed: int = 42,
 
 
 def lsh_ann_topk(
-    emb: DataFrame, dim: int, n_queries: int = 5, k: int = 10,
+    emb: DataFrame, dim: int | None, n_queries: int = 5, k: int = 10,
     n_planes: int = 8, seed: int = 42, n_probes: int = 4,
 ) -> DataFrame:
     """Approximate top-k: candidates share one of the query's probe buckets
