@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from ..plans.parallelize import spread
+from ..plans.parallelize import local_df, spread
 
 
 def _dot(a, b):
@@ -252,16 +252,11 @@ def ivf_ann_topk(
     precomputed and the corpus is laid out partitioned by cell, so a probe
     reads ``n_probe`` partitions — the IVF twin of the LSH bucket layout,
     with data-adapted cells instead of data-oblivious hyperplanes."""
-    samp = np.array(
-        [
-            r["embedding"]
-            for r in emb.select("vec_id", "embedding")
-            .orderBy("vec_id")
-            .limit(sample)
-            .collect()
-        ],
-        dtype=np.float64,
+    srows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(sample)
+        .collect()
     )
+    samp = np.array([r["embedding"] for r in srows], dtype=np.float64)
     cents = ivf_centroids(samp, n_cells, seed=seed)
     cell = ivf_cell_udf(cents)
     tagged = spread(emb.select("vec_id", "embedding")).withColumn(
@@ -269,13 +264,20 @@ def ivf_ann_topk(
     )
 
     # query-side probe list: n_probe nearest centroids, computed on the
-    # driver for the (small) query set — the same collect the brute-force
-    # baseline's broadcast does
-    qrows = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    # driver for the (small) query set. The query rows (vec_id < n_queries)
+    # sort before everything else in the vec_id-ordered sample, so when the
+    # sample provably covers the query range — it holds the whole table, or
+    # its last id is already past the range — they come from the SAME
+    # collect: one driver job instead of two. Otherwise fall back to the
+    # old filter collect (degenerate configs only).
+    if len(srows) < sample or (srows and srows[-1]["vec_id"] >= n_queries):
+        qrows = [r for r in srows if r["vec_id"] < n_queries]
+    else:
+        qrows = (
+            emb.filter(F.col("vec_id") < n_queries)
+            .select("vec_id", "embedding")
+            .collect()
+        )
     c_sq = (cents * cents).sum(axis=1)
     probe_rows = []
     for r in qrows:
@@ -283,8 +285,9 @@ def ivf_ann_topk(
         d = c_sq - 2.0 * (cents @ qv)
         for cid in np.argsort(d)[: min(n_probe, len(cents))]:
             probe_rows.append((int(r["vec_id"]), list(r["embedding"]), int(cid)))
-    q = emb.sparkSession.createDataFrame(
-        probe_rows, "query_id long, qv array<float>, cell long"
+    q = local_df(
+        emb.sparkSession, probe_rows,
+        "query_id long, qv array<float>, cell long",
     )
 
     scored = (

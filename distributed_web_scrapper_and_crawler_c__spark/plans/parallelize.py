@@ -32,3 +32,23 @@ def spread(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
+
+
+def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """createDataFrame for DRIVER-KNOWN row lists, sliced by SIZE instead
+    of by default parallelism. PySpark's list path parallelizes into
+    ``defaultParallelism`` slices no matter how few rows there are, and
+    every later scan of such a frame runs one Python-conversion task per
+    slice — so each tiny state frame (a fast round's increment, a probe
+    key list, a seed) costs ~32 Python worker round-trips per job that
+    touches it (measured: pinning a 2k-row frame 1.57s at 32 slices vs
+    0.18s at one). Driver-known lists are bounded (fast-round gate /
+    small-state compaction), so one slice per 50k rows keeps big lists
+    parallel while collapsing the common tiny case to a single task."""
+    n_slices = max(1, min(
+        -(-len(rows) // 50_000),
+        spark.sparkContext.defaultParallelism,
+    ))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )
