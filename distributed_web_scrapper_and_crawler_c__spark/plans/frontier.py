@@ -1301,7 +1301,13 @@ class CrawlEngine:
             )
         )
         dmark("d.parse_pin")
-        stats = parsed.groupBy("_pid").agg(
+        # one pool drives this round's concurrent driver threads: the
+        # stats collect (now), the books flow and the links counts agg
+        # (later) — all independent reads of the pinned parse (guide
+        # 2.6 overlap); every result is joined on the main thread
+        # before its consumers, so values and ordering are unchanged
+        _round_pool = ThreadPoolExecutor(max_workers=3)
+        stats_df = parsed.groupBy("_pid").agg(
             F.count("*").alias("cnt"),
             F.min("seq").alias("min_seq"),
             F.max("seq").alias("max_seq"),
@@ -1325,7 +1331,128 @@ class CrawlEngine:
                 ),
                 F.lit(0),
             ).alias("n_books"),
-        ).collect()
+        )
+        stats_fut = _round_pool.submit(stats_df.collect)
+
+        # --- links: scope-filter + enqueue-dedup (explode of pinned parse).
+        # The in-scope filter runs INSIDE the link array (order-preserving,
+        # so the (parent_seq, link_rank) first-wins order is the oracle's);
+        # totals were already folded into the parse-stats agg above ---------
+        kept = (
+            parsed.select(
+                F.col("seq").alias("parent_seq"),
+                F.posexplode(
+                    F.filter(
+                        F.col("links"),
+                        lambda x: ~X.should_ignore_url_expr(x),
+                    )
+                ).alias("link_rank", "link"),
+            )
+            .withColumn(
+                "path",
+                F.when(
+                    F.col("link").startswith(self.base_url),
+                    F.expr(f"substring(link, {len(self.base_url) + 1})"),
+                ).otherwise(F.col("link")),
+            )
+            .withColumn("url", F.concat(F.lit(self.base_url), F.col("path")))
+            .withColumn("canonical", self._canonical_col("link"))
+        )
+
+        # robots: per-host disallowed-prefix anti-join (broadcast rules +
+        # host equi-key with a startswith residual; host from the ORIGINAL
+        # link — the oracle's K.url_host(link)). Placement mirrors the
+        # reference's enqueue-time filter: blocked links are never deduped,
+        # never seen, never fetched. Blocked rows count as IGNORED links
+        # (the oracle's accounting) — derived from the post-filter row count
+        # in the pinned stats below, no extra job.
+        has_robots = self.robots_rules is not None
+        if has_robots and self._robots_full:
+            # full RFC 9309 mode: ONE broadcast left join against the
+            # one-row-per-host rules array, verdict evaluated JVM-side by
+            # higher-order functions (longest match, Allow wins ties —
+            # sources.robots.robots_allowed_col); hosts without rules get a
+            # NULL array = allowed. No row multiplication, no extra shuffle.
+            from ..sources import robots as RB
+
+            hr = RB.host_rules_frame(self.robots_rules).withColumnRenamed(
+                "host", "_rhost"
+            )
+            kept = (
+                kept.join(
+                    F.broadcast(hr),
+                    X.url_host_expr(F.col("link")) == F.col("_rhost"),
+                    "left",
+                )
+                .filter(RB.robots_allowed_col(F.col("_rules"), F.col("path")))
+                .drop("_rhost", "_rules")
+            )
+        elif has_robots:
+            rules = self.robots_rules.select(
+                F.col("host").alias("_rhost"),
+                F.col("prefix").alias("_rprefix"),
+            )
+            robots_cond = (
+                X.url_host_expr(F.col("link")) == F.col("_rhost")
+            ) & F.col("path").startswith(F.col("_rprefix"))
+            kept = kept.join(F.broadcast(rules), robots_cond, "left_anti")
+
+        # Bloom pre-filter: definitely-new rows skip the exact anti-join.
+        # Bitmap is incremental — only this round's new canonicals are
+        # hashed in; full rebuilds only on capacity growth.
+        if self.use_bloom:
+            self._bloom_ensure()
+            if self.seen_filter == "cuckoo":
+                if self._bloom_shards is not None:
+                    flagged = CK.probe_sharded(
+                        kept, self._bloom_shards, "canonical", self._bloom_m
+                    )
+                else:
+                    probe = CK.maybe_seen_col(
+                        self.spark, self._bloom_bm.tobytes(), self._bloom_m
+                    )
+                    flagged = kept.withColumn(
+                        "_maybe",
+                        probe(
+                            F.xxhash64("canonical", F.lit(CK.FP_SEED)),
+                            F.xxhash64("canonical", F.lit(CK.IX_SEED)),
+                        ),
+                    )
+            elif self._bloom_shards is not None:
+                # sharded layout: cogroup probe, no bitmap broadcast
+                flagged = BL.probe_sharded(
+                    kept, self._bloom_shards, "canonical", self._bloom_m
+                )
+            else:
+                probe = BL.maybe_seen_col(
+                    self.spark, self._bloom_bm.tobytes(), self._bloom_m
+                )
+                flagged = kept.withColumn(
+                    "_maybe",
+                    probe(
+                        F.xxhash64("canonical"),
+                        F.xxhash64("canonical", F.lit(1)),
+                    ),
+                )
+            # pin once: the canonicalize UDF + robots anti-join + probe run
+            # exactly one pass; ONE agg then yields both the post-robots row
+            # count (→ robots-blocked total) and the maybe-seen total
+            kept = self._pin(flagged)
+            # the counts agg over the pinned frame runs on a worker thread
+            # — its result is only consumed after the stats join and the
+            # books-flow launch below
+            _ks_fut = _round_pool.submit(
+                kept.agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(
+                        F.sum(F.col("_maybe").cast("long")), F.lit(0)
+                    ).alias("m"),
+                ).first
+            )
+        elif has_robots:
+            kept = self._pin(kept)
+
+        stats = stats_fut.result()
         dmark("d.stats_agg")
         part_counts = {r["_pid"]: r["cnt"] for r in stats}
         n_hits = sum(part_counts.values())
@@ -1566,122 +1693,13 @@ class CrawlEngine:
                 dmark("b.final_pin")
             return new_items, new_item_count
 
-        _books_pool = ThreadPoolExecutor(max_workers=1)
-        books_fut = _books_pool.submit(_books_flow)
+        books_fut = _round_pool.submit(_books_flow)
 
-        # --- links: scope-filter + enqueue-dedup (explode of pinned parse).
-        # The in-scope filter runs INSIDE the link array (order-preserving,
-        # so the (parent_seq, link_rank) first-wins order is the oracle's);
-        # totals were already folded into the parse-stats agg above ---------
-        kept = (
-            parsed.select(
-                F.col("seq").alias("parent_seq"),
-                F.posexplode(
-                    F.filter(
-                        F.col("links"),
-                        lambda x: ~X.should_ignore_url_expr(x),
-                    )
-                ).alias("link_rank", "link"),
-            )
-            .withColumn(
-                "path",
-                F.when(
-                    F.col("link").startswith(self.base_url),
-                    F.expr(f"substring(link, {len(self.base_url) + 1})"),
-                ).otherwise(F.col("link")),
-            )
-            .withColumn("url", F.concat(F.lit(self.base_url), F.col("path")))
-            .withColumn("canonical", self._canonical_col("link"))
-        )
         n_kept_expected = n_extracted - n_ignored  # rows in `kept` pre-robots
-
-        # robots: per-host disallowed-prefix anti-join (broadcast rules +
-        # host equi-key with a startswith residual; host from the ORIGINAL
-        # link — the oracle's K.url_host(link)). Placement mirrors the
-        # reference's enqueue-time filter: blocked links are never deduped,
-        # never seen, never fetched. Blocked rows count as IGNORED links
-        # (the oracle's accounting) — derived from the post-filter row count
-        # in the pinned stats below, no extra job.
-        has_robots = self.robots_rules is not None
-        if has_robots and self._robots_full:
-            # full RFC 9309 mode: ONE broadcast left join against the
-            # one-row-per-host rules array, verdict evaluated JVM-side by
-            # higher-order functions (longest match, Allow wins ties —
-            # sources.robots.robots_allowed_col); hosts without rules get a
-            # NULL array = allowed. No row multiplication, no extra shuffle.
-            from ..sources import robots as RB
-
-            hr = RB.host_rules_frame(self.robots_rules).withColumnRenamed(
-                "host", "_rhost"
-            )
-            kept = (
-                kept.join(
-                    F.broadcast(hr),
-                    X.url_host_expr(F.col("link")) == F.col("_rhost"),
-                    "left",
-                )
-                .filter(RB.robots_allowed_col(F.col("_rules"), F.col("path")))
-                .drop("_rhost", "_rules")
-            )
-        elif has_robots:
-            rules = self.robots_rules.select(
-                F.col("host").alias("_rhost"),
-                F.col("prefix").alias("_rprefix"),
-            )
-            robots_cond = (
-                X.url_host_expr(F.col("link")) == F.col("_rhost")
-            ) & F.col("path").startswith(F.col("_rprefix"))
-            kept = kept.join(F.broadcast(rules), robots_cond, "left_anti")
-
-        # Bloom pre-filter: definitely-new rows skip the exact anti-join.
-        # Bitmap is incremental — only this round's new canonicals are
-        # hashed in; full rebuilds only on capacity growth.
         n_bloom_checked = -1
         n_robots_blocked = 0
         if self.use_bloom:
-            self._bloom_ensure()
-            if self.seen_filter == "cuckoo":
-                if self._bloom_shards is not None:
-                    flagged = CK.probe_sharded(
-                        kept, self._bloom_shards, "canonical", self._bloom_m
-                    )
-                else:
-                    probe = CK.maybe_seen_col(
-                        self.spark, self._bloom_bm.tobytes(), self._bloom_m
-                    )
-                    flagged = kept.withColumn(
-                        "_maybe",
-                        probe(
-                            F.xxhash64("canonical", F.lit(CK.FP_SEED)),
-                            F.xxhash64("canonical", F.lit(CK.IX_SEED)),
-                        ),
-                    )
-            elif self._bloom_shards is not None:
-                # sharded layout: cogroup probe, no bitmap broadcast
-                flagged = BL.probe_sharded(
-                    kept, self._bloom_shards, "canonical", self._bloom_m
-                )
-            else:
-                probe = BL.maybe_seen_col(
-                    self.spark, self._bloom_bm.tobytes(), self._bloom_m
-                )
-                flagged = kept.withColumn(
-                    "_maybe",
-                    probe(
-                        F.xxhash64("canonical"),
-                        F.xxhash64("canonical", F.lit(1)),
-                    ),
-                )
-            # pin once: the canonicalize UDF + robots anti-join + probe run
-            # exactly one pass; ONE agg then yields both the post-robots row
-            # count (→ robots-blocked total) and the maybe-seen total
-            kept = self._pin(flagged)
-            _ks = kept.agg(
-                F.count("*").alias("n"),
-                F.coalesce(
-                    F.sum(F.col("_maybe").cast("long")), F.lit(0)
-                ).alias("m"),
-            ).first()
+            _ks = _ks_fut.result()
             n_bloom_checked = _ks["m"]
             dmark("l.probe_pin_agg")
             if has_robots:
@@ -1692,7 +1710,6 @@ class CrawlEngine:
             cand = sure_new.unionByName(checked)
         else:
             if has_robots:
-                kept = self._pin(kept)
                 n_robots_blocked = n_kept_expected - kept.count()
             cand = kept.join(self.seen.select("canonical"), "canonical", "left_anti")
         n_ignored += n_robots_blocked
@@ -1749,7 +1766,7 @@ class CrawlEngine:
         # join the concurrent books flow; mutate items state on the
         # main thread (same effect/order as the old serial code)
         new_items, new_item_count = books_fut.result()
-        _books_pool.shutdown()
+        _round_pool.shutdown()
         self._item_parts.append(new_items)
         self.items = self.items.unionByName(new_items)  # lazy over pinned parts
         self.items_count += new_item_count
